@@ -1,0 +1,134 @@
+"""Banded block-correlation LD scores — plain-XLA path.
+
+The reference's O(M·W·N) per-pair dot-product loop (``ldscalc.h:23-60``) is
+reformulated as a *banded block matmul*: for pivot block ``b`` (``B`` SNPs),
+the in-window neighbors live in blocks ``blk_lo[b] .. blk_hi[b]``; each tile
+pair is one ``(B, N) @ (N, B)`` MXU matmul followed by a fused epilogue
+(adjusted r², window/usability masks, row-sum accumulation).  One pass emits
+both L2 (additive) and L2D (dominance) plus the three window counters.
+
+This module is the correctness-first XLA implementation; ``ld_pallas.py``
+fuses the same epilogue into a custom kernel.  Both share the mask algebra
+in :func:`_tile_epilogue` and finalization in :func:`finalize_outputs`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _tile_epilogue(c_add, c_dom, gi, gj, lo_i, hi_i, usable_i, usable_j,
+                   dom_ok_j, poison_j, n_samples, rsq_thr):
+    """Shared mask algebra for one (B_i × B_j) tile.
+
+    ``c_add``/``c_dom`` are raw dot-product tiles (sum over samples, not yet
+    divided by n).  Returns per-row partial sums:
+    (l2_part, l2d_part, ws, wsd, wse, poison_count).
+    """
+    n = jnp.float32(n_samples)
+    adj_c = (n - 1.0) / (n - 2.0)
+
+    r_add = c_add / n
+    adj_add = 1.0 - (1.0 - r_add * r_add) * adj_c
+    r_dom = c_dom / n
+    adj_dom = 1.0 - (1.0 - r_dom * r_dom) * adj_c
+
+    in_win = (gj[None, :] >= lo_i[:, None]) & (gj[None, :] <= hi_i[:, None])
+    pair = in_win & usable_j[None, :] & usable_i[:, None]
+    base = pair & (gj[None, :] != gi[:, None])          # exclude self
+    dmask = base & dom_ok_j[None, :]
+
+    basef = base.astype(jnp.float32)
+    dmaskf = dmask.astype(jnp.float32)
+
+    l2_part = jnp.sum(adj_add * basef, axis=1)
+    l2d_part = jnp.sum(adj_dom * dmaskf, axis=1)
+    ws = jnp.sum(base, axis=1).astype(jnp.int32)
+    wsd = jnp.sum(dmask, axis=1).astype(jnp.int32)
+    wse = jnp.sum((adj_dom > rsq_thr) & dmask, axis=1).astype(jnp.int32)
+    # poison: zero-add-sd SNPs in window (self INCLUDED — ldscalc semantics)
+    poison = jnp.sum(pair & poison_j[None, :], axis=1).astype(jnp.int32)
+    return l2_part, l2d_part, ws, wsd, wse, poison
+
+
+def finalize_outputs(l2_acc, l2d_acc, ws, wsd, wse, poison, usable, add_sd_zero):
+    """Apply NaN/-1 sentinel semantics (ldscalc.h:16-21, SURVEY Q4)."""
+    nan = jnp.float32(jnp.nan)
+    l2 = jnp.where(usable & (poison == 0), 1.0 + l2_acc, nan)
+    # dominance: zero-add-sd pivot -> NaN unless no neighbor passed the filter
+    l2d_pivot_bad = jnp.where(wsd > 0, nan, 0.0)
+    l2d = jnp.where(usable, jnp.where(add_sd_zero, l2d_pivot_bad, l2d_acc), nan)
+    neg1 = jnp.int32(-1)
+    ws_o = jnp.where(usable, ws, neg1)
+    wsd_o = jnp.where(usable, wsd, neg1)
+    wse_o = jnp.where(usable, jnp.where(add_sd_zero, 0, wse), neg1)
+    return l2, l2d, ws_o, wsd_o, wse_o
+
+
+@partial(jax.jit, static_argnames=("block_size", "band_k", "n_samples"))
+def ld_scores_xla(add, res, lo, hi, usable, dom_ok, add_sd_zero, blk_lo,
+                  rsq_thr, *, block_size: int, band_k: int, n_samples: int):
+    """Dense-in-HBM banded LD pass.
+
+    Parameters
+    ----------
+    add, res : f32 (M_pad, N_pad) standardized additive / dominance-residual
+        rows (from :mod:`preprocess`); padding rows must have usable=False.
+    lo, hi : int32 (M_pad,) inclusive window index bounds (windows.py).
+    usable, dom_ok, add_sd_zero : bool (M_pad,).
+    blk_lo : int32 (n_blocks,) first neighbor block per pivot block.
+    rsq_thr : f32 scalar.
+    block_size, band_k, n_samples : static ints.
+
+    Returns (l2, l2d, ws, wsd, wse) each of length M_pad.
+    """
+    m_pad = add.shape[0]
+    n_blocks = m_pad // block_size
+    B = block_size
+
+    def pivot_block(b):
+        r0 = b * B
+        ya = lax.dynamic_slice_in_dim(add, r0, B, axis=0)
+        gi = r0 + jnp.arange(B, dtype=jnp.int32)
+        lo_i = lax.dynamic_slice_in_dim(lo, r0, B)
+        hi_i = lax.dynamic_slice_in_dim(hi, r0, B)
+        usable_i = lax.dynamic_slice_in_dim(usable, r0, B)
+
+        def body(k, acc):
+            l2_a, l2d_a, ws_a, wsd_a, wse_a, poi_a = acc
+            jblk = blk_lo[b] + k
+            j0 = jnp.clip(jblk * B, 0, m_pad - B)
+            za = lax.dynamic_slice_in_dim(add, j0, B, axis=0)
+            zr = lax.dynamic_slice_in_dim(res, j0, B, axis=0)
+            gj = j0 + jnp.arange(B, dtype=jnp.int32)
+            usable_j = lax.dynamic_slice_in_dim(usable, j0, B)
+            dom_ok_j = lax.dynamic_slice_in_dim(dom_ok, j0, B)
+            poison_j = lax.dynamic_slice_in_dim(add_sd_zero, j0, B)
+
+            c_add = jnp.dot(ya, za.T, precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+            c_dom = jnp.dot(ya, zr.T, precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+
+            # guard against the clipped j0 re-visiting a block (k overrun)
+            valid_k = (jblk * B >= 0) & (jblk * B <= m_pad - B) & (jblk * B == j0)
+            usable_j = usable_j & valid_k
+
+            l2_p, l2d_p, ws_p, wsd_p, wse_p, poi_p = _tile_epilogue(
+                c_add, c_dom, gi, gj, lo_i, hi_i, usable_i, usable_j,
+                dom_ok_j, poison_j, n_samples, rsq_thr)
+            return (l2_a + l2_p, l2d_a + l2d_p, ws_a + ws_p,
+                    wsd_a + wsd_p, wse_a + wse_p, poi_a + poi_p)
+
+        zf = jnp.zeros(B, jnp.float32)
+        zi = jnp.zeros(B, jnp.int32)
+        return lax.fori_loop(0, band_k, body, (zf, zf, zi, zi, zi, zi))
+
+    accs = lax.map(pivot_block, jnp.arange(n_blocks, dtype=jnp.int32))
+    l2_acc, l2d_acc, ws, wsd, wse, poison = (a.reshape(m_pad) for a in accs)
+    return finalize_outputs(l2_acc, l2d_acc, ws, wsd, wse, poison,
+                            usable, add_sd_zero)

@@ -1,0 +1,159 @@
+"""End-to-end LD-score estimation (the ``nldsc ld`` workload).
+
+Pipeline (TPU-first redesign of ``nldsc/ldscore/routine.py:51-102``):
+
+  host: parse .bim/.fam → window bounds (exact f64 → index intervals)
+        → block-decode .bed to int8 SNP-major tiles
+  device: fused preprocess (impute/standardize/residualize)
+        → banded block-correlation matmuls (XLA or Pallas)
+  host: NaN/-1 sentinel assembly → .L2 TSV + .M/.M_5_50
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LDConfig
+from ..core.logging import log
+from ..core.timing import elapsed_time
+from ..io.ldscores import make_output, write_l2, write_m_files
+from ..io.plink import PlinkDataset
+from . import ld_xla, preprocess, windows
+
+
+def _pad_to(x: np.ndarray, size: int, fill) -> np.ndarray:
+    if x.shape[0] == size:
+        return x
+    pad_shape = (size - x.shape[0],) + x.shape[1:]
+    return np.concatenate([x, np.full(pad_shape, fill, dtype=x.dtype)], axis=0)
+
+
+def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
+                      config: LDConfig, *, device=None) -> dict:
+    """LD scores for an in-core genotype matrix.
+
+    Parameters
+    ----------
+    genotypes : int8 (M, N) codes {0,1,2,-1}
+    positions : float64 (M,); negative = skip sentinel
+    config : LDConfig with ``rsq_thr`` resolved
+
+    Returns
+    -------
+    dict of host float64/int64 arrays: l2, l2d, maf, residuals_std,
+    l2_ws, l2d_ws, l2d_wse — the reference ``LDScoreResult`` fields.
+    """
+    m, n = genotypes.shape
+    B = config.block_size
+    m_pad = -(-m // B) * B
+    n_pad = -(-n // 128) * 128
+
+    lo, hi, pos_ok = windows.window_bounds(positions, config.ld_wind)
+    blk_lo, _blk_hi, band_k = windows.band_blocks(lo, hi, B, m_pad // B)
+
+    g = _pad_to(genotypes.astype(np.int8), m_pad, -1)
+    if n_pad != n:
+        g = np.concatenate(
+            [g, np.full((m_pad, n_pad - n), -1, dtype=np.int8)], axis=1)
+    pos_ok_pad = _pad_to(pos_ok, m_pad, False)
+    lo_pad = _pad_to(lo, m_pad, np.int32(m_pad))   # empty window for padding
+    hi_pad = _pad_to(hi, m_pad, np.int32(-1))
+
+    g_dev = jnp.asarray(g, device=device)
+    pre = preprocess.preprocess_block(
+        g_dev, jnp.asarray(pos_ok_pad), jnp.float32(config.maf_thr),
+        n_samples=n)
+
+    dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
+
+    if config.use_pallas:
+        from . import ld_pallas  # noqa: PLC0415
+        runner = ld_pallas.ld_scores_pallas
+    else:
+        runner = ld_xla.ld_scores_xla
+    l2, l2d, ws, wsd, wse = runner(
+        pre["add"], pre["res"], jnp.asarray(lo_pad), jnp.asarray(hi_pad),
+        pre["usable"], dom_ok, pre["add_sd_zero"],
+        jnp.asarray(blk_lo), jnp.float32(config.rsq_thr),
+        block_size=B, band_k=band_k, n_samples=n)
+
+    return {
+        "l2": np.asarray(l2, dtype=np.float64)[:m],
+        "l2d": np.asarray(l2d, dtype=np.float64)[:m],
+        "maf": np.asarray(pre["maf"], dtype=np.float64)[:m],
+        "residuals_std": np.asarray(pre["rstd"], dtype=np.float64)[:m],
+        "l2_ws": np.asarray(ws, dtype=np.int64)[:m],
+        "l2d_ws": np.asarray(wsd, dtype=np.int64)[:m],
+        "l2d_wse": np.asarray(wse, dtype=np.int64)[:m],
+    }
+
+
+def show_summary(result: dict) -> str:
+    """Post-run sanity summary (reference show_summary, routine.py:15-29)."""
+    data = pd.DataFrame({"L2": result["l2"], "L2D": result["l2d"],
+                         "MAF": result["maf"]})
+    corr = data.corr()
+    description = data.describe().drop("count")
+    text = ("=" * 62 + "\n"
+            f"L2/L2D/MAF Correlation matrix\n{corr}\n\n"
+            f"Short summary:\n"
+            f"- Number of additive non-null LD: {data['L2'].count()}\n"
+            f"- Number of non-additive non-null LD: {data['L2D'].count()}\n"
+            f"{description}\n" + "=" * 62)
+    print(text)
+    return text
+
+
+@elapsed_time
+def estimate_lds(
+    bfile: str,
+    ld_wind: float,
+    wind_metric: str,
+    maf_thr: float = 1e-5,
+    std_thr: float = 1e-5,
+    rsq_thr: float | None = None,
+    *,
+    out: str | None = None,
+    extra: bool = False,
+    summary: bool = False,
+    block_size: int = 512,
+    use_pallas: bool = True,
+    write_m: bool = True,
+) -> pd.DataFrame | None:
+    """Estimate additive + dominance LD scores from a PLINK bfile.
+
+    API parity with the reference ``estimate_lds``
+    (``nldsc/ldscore/routine.py:51-102``); returns the DataFrame when ``out``
+    is None, else writes ``<out>`` TSV (and ``.M``/``.M_5_50``).
+    """
+    ds = PlinkDataset.parse(bfile)
+    config = LDConfig(
+        ld_wind=ld_wind, wind_metric=wind_metric, maf_thr=maf_thr,
+        std_thr=std_thr, rsq_thr=rsq_thr, block_size=block_size,
+        use_pallas=use_pallas,
+    ).resolve_rsq(ds.n_snp)
+
+    log.info("Input: %s, size: (M=%d, N=%d)", ds.bed_path, ds.n_snp, ds.n_samples)
+    positions = ds.positions(config.wind_metric)
+
+    log.info("Decoding genotypes...")
+    genotypes = ds.bed.read_all()
+
+    log.info("Running the TPU LD estimator...")
+    result = compute_ld_scores(genotypes, positions, config)
+    log.info("Estimation completed")
+
+    if summary:
+        show_summary(result)
+
+    out_df = make_output(ds.bim, result, extra=extra)
+    if out:
+        write_l2(out_df, out)
+        if write_m:
+            write_m_files(result, out)
+        return None
+    return out_df

@@ -1,0 +1,101 @@
+"""On-device genotype preprocessing (jitted JAX).
+
+Fused, embarrassingly-parallel per-SNP pipeline replacing the reference's
+serial per-SNP C++ decode (``encoder.h:91-134``): means/MAF from non-missing,
+mean imputation, dominance residualization (1-D OLS), population-variance
+standardization.  All formulas are the *centered* algebraic equivalents of
+the reference's raw-moment forms (identical in exact arithmetic, better
+conditioned in f32).
+
+Input genotypes are int8 codes {0,1,2,-1}; sample-axis padding uses -1
+(missing), which mean-imputes then standardizes to exactly 0, so padded
+columns contribute nothing to any dot product.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def preprocess_block(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array,
+                     n_samples: int) -> dict[str, jax.Array]:
+    """Preprocess a block of SNPs.
+
+    Parameters
+    ----------
+    genotypes : int8 (B, N_pad) — codes {0,1,2}; any negative = missing;
+        sample padding must be negative.
+    pos_ok : bool (B,) — position sentinel mask (False = skip row).
+    maf_thr : scalar f32 — drop when ``maf <= maf_thr`` (encoder.h:120).
+    n_samples : true N (static; population variance divides by this).
+
+    Returns dict with f32 arrays:
+      ``add``   (B, N_pad) standardized additive (0 rows where unusable),
+      ``res``   (B, N_pad) standardized dominance residuals (0 where unusable
+                 or residual sd == 0),
+      ``maf``   (B,) folded MAF (NaN where position-skipped),
+      ``rstd``  (B,) raw residual population sd (NaN where unusable or the
+                 additive sd is zero — the reference propagates NaN there),
+      ``usable`` (B,) bool, ``add_sd_zero`` (B,) bool.
+    """
+    g = genotypes
+    n = jnp.float32(n_samples)
+
+    valid = g >= 0
+    gf = jnp.where(valid, g, 0).astype(jnp.float32)
+    # all-missing rows (e.g. SNP-axis padding) divide by 1 instead of 0;
+    # their means are garbage but the rows are unusable and zeroed anyway
+    n_valid = jnp.maximum(jnp.sum(valid, axis=1), 1).astype(jnp.float32)
+
+    # integer-valued f32 sums are exact below 2^24
+    add_sum = jnp.sum(gf, axis=1)
+    dom_raw = jnp.where(valid, 2.0 * jnp.minimum(gf, 1.0), 0.0)
+    dom_sum = jnp.sum(dom_raw, axis=1)
+
+    add_mean = add_sum / n_valid
+    dom_mean = dom_sum / n_valid
+
+    f2 = add_mean * 0.5
+    maf = jnp.minimum(f2, 1.0 - f2)
+    usable = pos_ok & (maf > maf_thr)
+
+    # mean-impute missing AND sample padding; imputed mean == column mean
+    a = jnp.where(valid, gf, add_mean[:, None])
+    d = jnp.where(valid, 2.0 * jnp.minimum(gf, 1.0), dom_mean[:, None])
+    a_c = a - add_mean[:, None]
+    d_c = d - dom_mean[:, None]
+
+    var_a_sum = jnp.sum(a_c * a_c, axis=1)            # = n * population var
+    cov_ad_sum = jnp.sum(a_c * d_c, axis=1)
+    add_sd = jnp.sqrt(var_a_sum / n)
+    add_sd_zero = usable & (var_a_sum <= 0.0)
+
+    safe_var = jnp.where(var_a_sum > 0, var_a_sum, 1.0)
+    slope = cov_ad_sum / safe_var
+    r_c = d_c - slope[:, None] * a_c                   # centered residuals
+    rvar_sum = jnp.sum(r_c * r_c, axis=1)
+    rstd = jnp.sqrt(rvar_sum / n)
+
+    inv_add_sd = jnp.where(add_sd > 0, 1.0 / jnp.where(add_sd > 0, add_sd, 1.0), 0.0)
+    inv_rstd = jnp.where(rstd > 0, 1.0 / jnp.where(rstd > 0, rstd, 1.0), 0.0)
+
+    row_ok = usable[:, None]
+    add_out = jnp.where(row_ok, a_c * inv_add_sd[:, None], 0.0)
+    res_out = jnp.where(row_ok & ~add_sd_zero[:, None], r_c * inv_rstd[:, None], 0.0)
+
+    nan = jnp.float32(jnp.nan)
+    maf_out = jnp.where(pos_ok, maf, nan)
+    rstd_out = jnp.where(usable & ~add_sd_zero, rstd, nan)
+
+    return {
+        "add": add_out,
+        "res": res_out,
+        "maf": maf_out,
+        "rstd": rstd_out,
+        "usable": usable,
+        "add_sd_zero": add_sd_zero,
+    }

@@ -1,0 +1,94 @@
+"""Device (XLA banded) path vs float64 oracle parity."""
+
+import numpy as np
+import pytest
+
+from nldsc_tpu.config import LDConfig
+from nldsc_tpu.ld.oracle import oracle_ld
+from nldsc_tpu.ld.pipeline import compute_ld_scores
+from nldsc_tpu.ld import windows
+
+from utils import adversarial_genotypes, make_positions, random_genotypes
+
+
+def assert_ld_parity(res, ora, rtol=2e-5, atol=2e-4):
+    np.testing.assert_allclose(res["l2"], ora["l2"], rtol=rtol, atol=atol,
+                               equal_nan=True)
+    np.testing.assert_allclose(res["l2d"], ora["l2d"], rtol=rtol, atol=atol,
+                               equal_nan=True)
+    np.testing.assert_allclose(res["maf"], ora["maf"], rtol=1e-6, atol=1e-7,
+                               equal_nan=True)
+    np.testing.assert_allclose(res["residuals_std"], ora["residuals_std"],
+                               rtol=1e-4, atol=1e-6, equal_nan=True)
+    for k in ("l2_ws", "l2d_ws", "l2d_wse"):
+        np.testing.assert_array_equal(res[k], ora[k], err_msg=k)
+
+
+def make_config(**kw):
+    kw.setdefault("ld_wind", 5000)
+    kw.setdefault("wind_metric", "bp")
+    kw.setdefault("maf_thr", 0.01)
+    kw.setdefault("std_thr", 1e-4)
+    kw.setdefault("rsq_thr", 1e-3)
+    kw.setdefault("block_size", 64)
+    kw.setdefault("use_pallas", False)
+    return LDConfig(**kw)
+
+
+def test_parity_basic(rng):
+    g = random_genotypes(rng, 200, 300, missing_rate=0.03)
+    pos = make_positions(200, spacing=777, jitter_rng=rng)
+    cfg = make_config()
+    res = compute_ld_scores(g, pos, cfg)
+    ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr, cfg.rsq_thr)
+    assert_ld_parity(res, ora)
+
+
+def test_parity_adversarial(rng):
+    adv = adversarial_genotypes(rng, 256)
+    g = np.concatenate([random_genotypes(rng, 40, 256, missing_rate=0.05),
+                        adv,
+                        random_genotypes(rng, 40, 256, missing_rate=0.05)])
+    pos = make_positions(len(g), spacing=1000, skip_idx=(3, 50))
+    cfg = make_config(ld_wind=20000, maf_thr=1e-5, block_size=32)
+    res = compute_ld_scores(g, pos, cfg)
+    ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr, cfg.rsq_thr)
+    assert_ld_parity(res, ora)
+
+
+def test_parity_wide_window_and_odd_sizes(rng):
+    # window spanning everything; M and N not multiples of block/128
+    g = random_genotypes(rng, 131, 99, missing_rate=0.08)
+    pos = make_positions(131, spacing=10)
+    cfg = make_config(ld_wind=1e6, block_size=48)
+    res = compute_ld_scores(g, pos, cfg)
+    ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr, cfg.rsq_thr)
+    assert_ld_parity(res, ora)
+
+
+def test_parity_cm_metric(rng):
+    g = random_genotypes(rng, 120, 200, missing_rate=0.0)
+    cm = np.sort(rng.uniform(0, 3.0, size=120))
+    cfg = make_config(ld_wind=0.5, wind_metric="cm", block_size=64)
+    res = compute_ld_scores(g, cm, cfg)
+    ora = oracle_ld(g, cm, 0.5, cfg.maf_thr, cfg.std_thr, cfg.rsq_thr)
+    assert_ld_parity(res, ora)
+
+
+def test_window_bounds_match_predicate(rng):
+    pos = np.sort(rng.uniform(0, 1e5, size=500))
+    pos[123] = -1.0  # sentinel
+    lo, hi, pos_ok = windows.window_bounds(pos, 2500.0)
+    filled, _ = windows.fill_skipped_positions(pos)
+    for i in range(500):
+        in_win = np.abs(filled - filled[i]) <= 2500.0
+        assert lo[i] == np.flatnonzero(in_win)[0]
+        assert hi[i] == np.flatnonzero(in_win)[-1]
+
+
+def test_unsorted_positions_rejected():
+    from nldsc_tpu.core.errors import NLDSCDataError
+
+    pos = np.array([1.0, 3.0, 2.0])
+    with pytest.raises(NLDSCDataError):
+        windows.window_bounds(pos, 10.0)
