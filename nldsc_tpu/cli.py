@@ -1,0 +1,142 @@
+"""Command-line interface.
+
+Flag-for-flag compatible with the reference CLI (``nldsc/__main__.py``),
+with the reference's quirks fixed (SURVEY Q8-Q10):
+
+* ``.M`` / ``.M_5_50`` sidecars are actually written
+* ``--use-M`` is forwarded to the h2 pipeline
+* ``-maf`` has a real default (1e-5) instead of crashing when omitted
+* ``--std-thr`` default unified to the CLI value 1e-4
+"""
+
+from __future__ import annotations
+
+import sys
+
+import click
+
+from .core.logging import enable_file_logging, log
+from .version import __version__
+
+__header__ = (
+    f"\n==============================================================\n"
+    f"* Non-additive LD Score Regression (nldsc-tpu)\tv{__version__}\n"
+    f"* TPU-native reimplementation of nldsc (bayarpark/nldsc)\n"
+    f"* JAX/XLA/Pallas engine; GNU General Public License v3\n"
+    f"==============================================================\n"
+)
+
+
+def handle_exception(func):
+    def handler(*args, **kwargs):
+        display = kwargs.pop("display", None)
+        try:
+            return func(*args, **kwargs)
+        except Exception as ex:
+            log.critical(
+                "The program crashed with %s, what: %s\n"
+                "Use `--display` flag for traceback",
+                ex.__class__.__name__, ex, exc_info=display)
+            raise SystemExit(1)
+
+    handler.__name__ = func.__name__
+    return handler
+
+
+@click.group()
+@click.version_option(version=__version__)
+@click.option("--log-file", is_flag=True, default=False,
+              help="Also log to ./nldsc.log")
+def main(log_file):
+    click.echo(__header__)
+    if log_file:
+        enable_file_logging()
+
+
+@main.command("ld", help="Estimate additive and non-additive LD Scores")
+@click.option("--bfile", metavar="FILE", required=True,
+              help="Path prefix for PLINK .bed/.bim/.fam file or path to one of them")
+@click.option("-o", "--out", metavar="FILE",
+              help="Path prefix for output. If not specified the DataFrame is printed")
+@click.option("-kb", "--ld-wind-kb", metavar="W", type=float,
+              help="Window size for LD score estimation in kilo-base pairs (kb)")
+@click.option("-cm", "--ld-wind-cm", metavar="W", type=float,
+              help="Window size for LD score estimation in centi-morgans (cM)")
+@click.option("-maf", "--maf-thr", metavar="F", type=float, default=1e-5,
+              help="Minor allele frequency threshold (lower bound)")
+@click.option("-std", "--std-thr", metavar="F", type=float, default=1e-4,
+              help="Standard deviation threshold for regression residuals")
+@click.option("-rsq", "--rsq-thr", metavar="F", type=float, default=None,
+              help="R-squared threshold for regression residuals "
+                   "(affects dominant window sizes / MD). Default: 1/n_snp")
+@click.option("--extra", is_flag=True, default=False,
+              help="Include additional information (MAF WSA WSD WSDE RSTD) in the .L2 file")
+@click.option("--block-size", metavar="B", type=int, default=512,
+              help="SNP rows per device tile")
+@click.option("--xla-only", is_flag=True, default=False,
+              help="Disable the fused Pallas kernel (debug)")
+@click.option("--display", is_flag=True, default=False, help="Display traceback")
+@handle_exception
+def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
+           extra, block_size, xla_only):
+    if sum(map(bool, [ld_wind_kb, ld_wind_cm])) != 1:
+        raise RuntimeError("Please, specify exactly one --ld-wind option")
+    if ld_wind_kb:
+        wind_metric, ld_wind = "kbp", ld_wind_kb
+    else:
+        wind_metric, ld_wind = "cm", ld_wind_cm
+
+    from .ld.pipeline import estimate_lds  # noqa: PLC0415
+
+    df = estimate_lds(
+        bfile, ld_wind=ld_wind, wind_metric=wind_metric,
+        maf_thr=maf_thr, std_thr=std_thr, rsq_thr=rsq_thr,
+        out=out, extra=extra, summary=True,
+        block_size=block_size, use_pallas=not xla_only,
+    )
+    if df is not None and out is None:
+        click.echo(df.to_string(max_rows=40))
+
+
+@main.command("h2", help="Estimate additive and non-additive heritability")
+@click.option("--sumstats", metavar="FILE", required=True,
+              help="Path to the GWAS sumstats file")
+@click.option("--ref-ld", metavar="PTH", required=True,
+              help="File/path with LD Scores used as regression predictors")
+@click.option("--w-ld", metavar="PTH", required=True,
+              help="LD Scores for regression weights (must equal --ref-ld; "
+                   "kept for LDSC interface compatibility)")
+@click.option("--strategy", type=click.Choice(["one-stg", "two-stg"]),
+              default="two-stg", help="Heritability estimation method")
+@click.option("--chisq-max", metavar="F", type=float, default=None,
+              help="Drop SNPs with chi-square above this "
+                   "(default: max(1e-3*N_max, 80))")
+@click.option("--n-blocks", metavar="N", type=int, default=200,
+              help="Number of jackknife blocks")
+@click.option("--intercept-h2", metavar="F", type=float, default=None,
+              help="Constrain the additive LD-score regression intercept")
+@click.option("--two-step", metavar="F", type=float, default=30,
+              help="Two-step estimator chi-square cutoff")
+@click.option("--use-M", "use_m", is_flag=True, default=False,
+              help="Use .M file instead of .M_5_50")
+@click.option("-s", "--save-to-json", metavar="W", default=None,
+              help="Path to file where to write results")
+@click.option("--display", is_flag=True, default=False, help="Display traceback")
+@handle_exception
+def est_h2(sumstats, ref_ld, w_ld, strategy, chisq_max, n_blocks,
+           intercept_h2, two_step, use_m, save_to_json):
+    if ref_ld != w_ld:
+        raise NotImplementedError(
+            "Method for different annotations is not yet implemented. "
+            "Please, make sure that `ref_ld` and `w_ld` are equal.")
+
+    from .h2.pipeline import estimate_h2  # noqa: PLC0415
+
+    estimate_h2(
+        sumstats=sumstats, ldscore=ref_ld, n_blocks=n_blocks,
+        intercept_h2=intercept_h2, chisq_max=chisq_max, use_m=use_m,
+        two_step=two_step, strategy=strategy, save_to_json=save_to_json)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

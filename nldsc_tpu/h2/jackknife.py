@@ -1,0 +1,151 @@
+"""Block jackknives in JAX (reference semantics: ``nldsc/h2/jackknife.py``).
+
+The fast jackknife forms per-block ``XᵀX`` / ``Xᵀy`` partial sums (here via
+``segment_sum``), solves the whole-data system once, and gets every
+leave-one-block-out estimate from totals-minus-block — O(M·p²) + n_blocks
+p×p solves (``jackknife.py:303-443``).  The slow variant re-solves the
+regression per deleted block (kept for testing and NNLS,
+``jackknife.py:214-300``).
+
+All math runs in jnp; under ``jax.enable_x64`` (the h2 pipeline default on
+CPU) results are float64-exact.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import ops as jops
+
+
+@dataclass
+class JackknifeResult:
+    est: jnp.ndarray            # (1, p) whole-data estimate
+    jk_est: jnp.ndarray         # (1, p) jackknifed estimate
+    jk_var: jnp.ndarray         # (1, p)
+    jk_std: jnp.ndarray         # (1, p)
+    jk_cov: jnp.ndarray         # (p, p)
+    delete_values: jnp.ndarray  # (n_blocks, p)
+    separators: np.ndarray      # (n_blocks + 1,) host ints
+
+
+def get_separators(n: int, n_blocks: int) -> np.ndarray:
+    """Evenly-spaced block boundaries (jackknife.py:85-91)."""
+    return np.floor(np.linspace(0, n, n_blocks + 1)).astype(int)
+
+
+def block_ids(separators: np.ndarray, n: int) -> np.ndarray:
+    """Map each row to its jackknife block (host helper)."""
+    return (np.searchsorted(separators[1:-1], np.arange(n), side="right")
+            .astype(np.int32))
+
+
+def jackknife_moments(pseudovalues: jnp.ndarray):
+    """Pseudovalues -> (jk_est, jk_var, jk_std, jk_cov) (jackknife.py:57-83).
+
+    ``jk_cov = cov(pseudovalues, ddof=1) / n_blocks``.
+    """
+    n_blocks = pseudovalues.shape[0]
+    mean = jnp.mean(pseudovalues, axis=0, keepdims=True)       # (1, p)
+    centered = pseudovalues - mean
+    cov = centered.T @ centered / (n_blocks - 1) / n_blocks    # (p, p)
+    var = jnp.diag(cov)[None, :]
+    return mean, var, jnp.sqrt(var), cov
+
+
+def delete_values_to_pseudovalues(delete_values: jnp.ndarray,
+                                  est: jnp.ndarray) -> jnp.ndarray:
+    """``n·est − (n−1)·delete`` (jackknife.py:176-211)."""
+    n_blocks = delete_values.shape[0]
+    return n_blocks * est - (n_blocks - 1) * delete_values
+
+
+def _result(est, delete_values, separators) -> JackknifeResult:
+    pseudo = delete_values_to_pseudovalues(delete_values, est)
+    jk_est, jk_var, jk_std, jk_cov = jackknife_moments(pseudo)
+    return JackknifeResult(est=est, jk_est=jk_est, jk_var=jk_var,
+                           jk_std=jk_std, jk_cov=jk_cov,
+                           delete_values=delete_values, separators=separators)
+
+
+def lstsq_jackknife_fast(x: jnp.ndarray, y: jnp.ndarray,
+                         n_blocks: int | None = None,
+                         separators: np.ndarray | None = None) -> JackknifeResult:
+    """Fast block jackknife for the regression y ~ x."""
+    n, p = x.shape
+    separators = _check_separators(n, n_blocks, separators)
+    ids = jnp.asarray(block_ids(separators, n))
+    nb = len(separators) - 1
+
+    # per-block partial sums of XᵀX (nb, p, p) and Xᵀy (nb, p)
+    xtx_b = jops.segment_sum(x[:, :, None] * x[:, None, :], ids, num_segments=nb)
+    xty_b = jops.segment_sum(x * y, ids, num_segments=nb)
+
+    xtx = jnp.sum(xtx_b, axis=0)
+    xty = jnp.sum(xty_b, axis=0)
+    est = jnp.linalg.solve(xtx, xty[:, None]).reshape(1, p)
+    delete = jnp.linalg.solve(xtx[None] - xtx_b,
+                              (xty[None] - xty_b)[..., None]).reshape(nb, p)
+    return _result(est, delete, separators)
+
+
+def lstsq_jackknife_slow(x: jnp.ndarray, y: jnp.ndarray,
+                         n_blocks: int | None = None,
+                         separators: np.ndarray | None = None,
+                         nn: bool = False) -> JackknifeResult:
+    """Slow jackknife: re-fit per deleted block (optionally NNLS on host)."""
+    n, p = x.shape
+    separators = _check_separators(n, n_blocks, separators)
+    nb = len(separators) - 1
+
+    if nn:
+        from scipy.optimize import nnls  # noqa: PLC0415
+
+        xh = np.asarray(x, dtype=np.float64)
+        yh = np.asarray(y, dtype=np.float64).ravel()
+        est = jnp.asarray(nnls(xh, yh)[0]).reshape(1, p)
+        rows = []
+        for j in range(nb):
+            keep = np.r_[0:separators[j], separators[j + 1]:n]
+            rows.append(nnls(xh[keep], yh[keep])[0])
+        delete = jnp.asarray(np.stack(rows))
+        return _result(est, delete, separators)
+
+    est = jnp.linalg.lstsq(x, y)[0].reshape(1, p)
+    rows = []
+    for j in range(nb):
+        # zeroed rows leave the (full-rank) least-squares minimizer unchanged
+        mask = jnp.ones((n, 1), x.dtype)
+        mask = mask.at[separators[j]:separators[j + 1]].set(0.0)
+        rows.append(jnp.linalg.lstsq(x * mask, y * mask)[0].reshape(p))
+    delete = jnp.stack(rows)
+    return _result(est, delete, separators)
+
+
+def ratio_jackknife(est: jnp.ndarray, numer_delete: jnp.ndarray,
+                    denom_delete: jnp.ndarray) -> JackknifeResult:
+    """Jackknife for a ratio estimate (jackknife.py:446-527)."""
+    nb = numer_delete.shape[0]
+    pseudo = nb * est - (nb - 1) * numer_delete / denom_delete
+    jk_est, jk_var, jk_std, jk_cov = jackknife_moments(pseudo)
+    return JackknifeResult(est=est, jk_est=jk_est, jk_var=jk_var,
+                           jk_std=jk_std, jk_cov=jk_cov,
+                           delete_values=numer_delete / denom_delete,
+                           separators=np.array([]))
+
+
+def _check_separators(n: int, n_blocks: int | None,
+                      separators: np.ndarray | None) -> np.ndarray:
+    if separators is not None:
+        separators = np.sort(np.asarray(separators))
+        if separators[0] != 0 or separators[-1] != n:
+            raise ValueError("separators must span [0, n]")
+        return separators
+    if n_blocks is None:
+        raise ValueError("Must specify either n_blocks or separators.")
+    if n_blocks > n:
+        raise ValueError("More blocks than data points.")
+    return get_separators(n, n_blocks)

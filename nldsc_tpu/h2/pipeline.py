@@ -1,7 +1,143 @@
-"""h2 pipeline placeholder (implemented in the h2 milestone)."""
+"""End-to-end heritability estimation (the ``nldsc h2`` workload).
+
+Mirrors ``nldsc/h2/routine.py``: read sumstats + LD scores, inner-join on
+SNP, χ² = Z², drop SNPs with χ² ≥ chisq_max (dropped, not capped — quirk
+Q11), then the two-stage additive+dominance regression.  Runs the JAX
+regression in float64 (``jax.enable_x64``); on accelerator-only hosts the
+arrays are placed on CPU where f64 is native — the compute is O(M·p²) and
+never the bottleneck.
+"""
 
 from __future__ import annotations
 
+import json
+from pathlib import Path
 
-def estimate_h2(*args, **kwargs):
-    raise NotImplementedError("h2 pipeline lands in the next milestone")
+import numpy as np
+import pandas as pd
+
+import jax
+
+from ..config import H2Config
+from ..core.errors import NLDSCParameterError
+from ..core.logging import log
+from ..core.timing import elapsed_time
+from ..io.ldscores import read_ld_scores
+from ..io.sumstats import read_sumstats
+from .regression import hsq_estimate
+
+
+def merge_ld_sumstats(sumstats: pd.DataFrame, ld: pd.DataFrame) -> pd.DataFrame:
+    """Inner join on SNP (reference h2/utils.py:29-40)."""
+    out = pd.merge(sumstats, ld, how="inner", on="SNP")
+    log.info("After merging with [reference panel LD/regression SNP LD], "
+             "%d SNPs remain", len(out))
+    if len(out) == 0:
+        raise RuntimeError("No SNPs remain after merging sumstats with LD scores")
+    return out
+
+
+def prettify_summary(summary: dict) -> str:
+    text = "\n========================= h2 summary =========================\n"
+    text += (f"Additive h2: {summary['additive']['hsq']:.4f} "
+             f"± std: {summary['additive']['hsq.std']:.4f}\n")
+    text += (f"lambda GC: {summary['additive']['lambda_gc']:.4f}, "
+             f"chi2 mean: {summary['additive']['chisq.mean']:.4f}\n")
+    text += (f"Dominant h2: {summary['dominant']['hsq']:.4e} "
+             f"± std: {summary['dominant']['hsq.std']:.4e}\n")
+    text += f"residuals mean: {summary['dominant']['residuals.mean']:.4e}\n"
+    return text
+
+
+def attempt_save(filename: str, summary: dict) -> None:
+    """JSON save that refuses to overwrite (reference h2/utils.py:52-58)."""
+    if Path(filename).is_file():
+        raise FileExistsError("File already exists")
+    with open(filename, "w") as f:
+        json.dump(summary, f)
+
+
+def _cols(x, n: int) -> np.ndarray:
+    return np.asarray(x, dtype=np.float64).reshape(n, 1)
+
+
+def estimate_h2_frames(sumstats: pd.DataFrame, ld: pd.DataFrame, M: int,
+                       MD: int, config: H2Config) -> dict:
+    """Core h2 estimation on already-loaded frames (reference _estimate_h2)."""
+    overall = merge_ld_sumstats(sumstats, ld)
+    n = len(overall)
+    chisq = _cols(overall["Z"] ** 2, n)
+
+    chisq_max = config.chisq_max
+    if chisq_max is None:
+        chisq_max = max(0.001 * overall["N"].max(), 80)
+
+    keep = np.ravel(chisq < chisq_max)
+    overall = overall.iloc[keep]
+    n_new = len(overall)
+    log.info("Removed %d SNPs with chi^2 > %s (%d SNPs remain)",
+             n - n_new, chisq_max, n_new)
+    chisq = _cols(chisq[keep], n_new)
+
+    if config.strategy == "one-stg":
+        raise NotImplementedError("one-staged estimator has not been implemented")
+    if config.strategy != "two-stg":
+        raise NLDSCParameterError(
+            "Unknown estimation strategy. Only `one-stg` and `two-stg` are allowed")
+
+    ref_ld_add = _cols(overall["L2"], n_new)
+    ref_ld_dom = _cols(overall["L2D"], n_new)
+    with jax.enable_x64(True):
+        return hsq_estimate(
+            chisq=chisq,
+            x_add=ref_ld_add, w_add=ref_ld_add,
+            x_dom=ref_ld_dom, w_dom=ref_ld_dom,
+            N=_cols(overall["N"], n_new),
+            M_add=np.array([[M]], dtype=np.float64),
+            M_dom=np.array([[MD]], dtype=np.float64),
+            n_blocks=config.n_blocks,
+            intercept_add=config.intercept_h2,
+            slow=config.slow_jackknife,
+            two_step=config.two_step,
+        )
+
+
+@elapsed_time
+def estimate_h2(
+    sumstats: str,
+    ldscore: str,
+    n_blocks: int = 200,
+    intercept_h2: float | None = None,
+    chisq_max: float | None = None,
+    use_m: bool = False,
+    two_step: float | None = None,
+    strategy: str = "two-stg",
+    save_to_json: str | None = None,
+) -> dict:
+    """Estimate additive + dominance heritability (reference estimate_h2).
+
+    Returns the summary dict (and optionally saves it as JSON).
+    """
+    log.info("Reading GWAS summary statistics...")
+    ss = read_sumstats(sumstats, alleles=False, dropna=True)
+
+    log.info("Reading LD Scores...")
+    ld, M, MD = read_ld_scores(ldscore, use_m=use_m)
+
+    if chisq_max is None:
+        chisq_max = max(ss["N"].max() * 1e-3, 80)
+    if two_step is None and intercept_h2 is None:
+        two_step = 30
+
+    config = H2Config(n_blocks=n_blocks, intercept_h2=intercept_h2,
+                      chisq_max=chisq_max, two_step=two_step,
+                      strategy=strategy, use_m=use_m)
+
+    log.info("Estimating heritability...")
+    result = estimate_h2_frames(ss, ld, M, MD, config)
+    summary = result["summary"]
+    print(prettify_summary(summary))
+
+    if save_to_json:
+        attempt_save(save_to_json, summary)
+    return summary

@@ -65,13 +65,19 @@ def m_counts(result: dict, maf_floor: float | None = None) -> tuple[int, int]:
     return m, int(md)
 
 
-def write_m_files(result: dict, out_prefix: str) -> None:
-    """Write <prefix>.M and <prefix>.M_5_50 (fixes reference quirk Q8)."""
+def write_m_files(result: dict, l2_path: str) -> None:
+    """Write .M and .M_5_50 siblings of the .L2 file (fixes quirk Q8).
+
+    Uses ``with_suffix`` naming so the h2 reader's sidecar resolution
+    (``path.with_suffix('.M')``, reference common.py:119-127) finds them.
+    """
+    base = Path(l2_path)
     for suffix, floor in ((".M", None), (".M_5_50", 0.05)):
         m, md = m_counts(result, floor)
         pd.DataFrame({"M": [m], "MD": [md]}).to_csv(
-            out_prefix + suffix, sep="\t", index=False)
-    log.info("Wrote SNP counts: %s.M / %s.M_5_50", out_prefix, out_prefix)
+            base.with_suffix(suffix), sep="\t", index=False)
+    log.info("Wrote SNP counts: %s / %s",
+             base.with_suffix(".M"), base.with_suffix(".M_5_50"))
 
 
 def read_m(path: str) -> tuple[int, int]:

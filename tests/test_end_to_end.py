@@ -1,0 +1,124 @@
+"""End-to-end: bfile -> estimate_lds -> .L2/.M files -> estimate_h2 -> JSON.
+
+Also exercises the CLI via click's test runner.
+"""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from utils import make_positions, random_genotypes
+
+
+@pytest.fixture(scope="module")
+def toy_bfile(tmp_path_factory):
+    from nldsc_tpu.io.plink import write_plink
+
+    rng = np.random.default_rng(7)
+    m, n = 400, 250
+    g = random_genotypes(rng, m, n, missing_rate=0.02)
+    bp = make_positions(m, spacing=500, jitter_rng=rng)
+    prefix = write_plink(tmp_path_factory.mktemp("e2e") / "chr22", g, bp=bp)
+    return prefix, g, bp, rng
+
+
+def test_ld_pipeline_files(toy_bfile, tmp_path):
+    from nldsc_tpu.ld.pipeline import estimate_lds
+
+    prefix, g, bp, _ = toy_bfile
+    out = str(tmp_path / "chr22.L2")
+    estimate_lds(prefix, ld_wind=10, wind_metric="kbp", maf_thr=0.01,
+                 std_thr=1e-4, out=out, extra=True, block_size=64,
+                 use_pallas=False)
+
+    df = pd.read_csv(out, sep="\t")
+    assert list(df.columns) == ["CHR", "SNP", "BP", "L2", "L2D",
+                                "MAF", "WSA", "WSD", "WSDE", "RSTD"]
+    assert len(df) == 400
+    assert df["L2"].notna().sum() > 350
+
+    m_df = pd.read_csv(str(tmp_path / "chr22.M_5_50"), sep="\t")
+    assert {"M", "MD"} == set(m_df.columns)
+    assert 0 < int(m_df["M"].iloc[0]) <= 400
+
+    # parity of the file contents vs oracle at the written precision
+    from nldsc_tpu.ld.oracle import oracle_ld
+
+    ora = oracle_ld(g, bp, 10000.0, 0.01, 1e-4, 1.0 / 400)
+    np.testing.assert_allclose(df["L2"].to_numpy(), ora["l2"],
+                               atol=2e-4, equal_nan=True)
+
+
+def test_h2_pipeline_files(toy_bfile, tmp_path):
+    from nldsc_tpu.ld.pipeline import estimate_lds
+    from nldsc_tpu.h2.pipeline import estimate_h2
+
+    prefix, g, bp, rng = toy_bfile
+    out = str(tmp_path / "scores.L2")
+    estimate_lds(prefix, ld_wind=10, wind_metric="kbp", maf_thr=0.01,
+                 std_thr=1e-4, out=out, extra=True, block_size=64,
+                 use_pallas=False)
+
+    df = pd.read_csv(out, sep="\t").dropna()
+    m = len(df)
+    z = rng.normal(0, 1.2, size=m)
+    ss = pd.DataFrame({"SNP": df["SNP"], "Z": z, "N": 10000.0})
+    ss_path = str(tmp_path / "toy.sumstats")
+    ss.to_csv(ss_path, sep="\t", index=False)
+
+    json_path = str(tmp_path / "h2.json")
+    summary = estimate_h2(ss_path, out, n_blocks=25, save_to_json=json_path)
+    assert "additive" in summary and "dominant" in summary
+    saved = json.loads(open(json_path).read())
+    assert saved["additive"]["hsq"] == pytest.approx(summary["additive"]["hsq"])
+    # refuses overwrite (reference attempt_save semantics)
+    with pytest.raises(FileExistsError):
+        estimate_h2(ss_path, out, n_blocks=25, save_to_json=json_path)
+
+
+def test_cli_ld_and_h2(toy_bfile, tmp_path, rng):
+    from click.testing import CliRunner
+
+    from nldsc_tpu.cli import main
+
+    prefix, *_ = toy_bfile
+    out = str(tmp_path / "cli.L2")
+    runner = CliRunner()
+    res = runner.invoke(main, ["ld", "--bfile", prefix, "-kb", "10",
+                               "-maf", "0.01", "--extra", "-o", out,
+                               "--block-size", "64", "--xla-only",
+                               "--display"])
+    assert res.exit_code == 0, res.output
+    df = pd.read_csv(out, sep="\t")
+    assert "WSDE" in df.columns
+
+    zdf = df.dropna()
+    ss = pd.DataFrame({"SNP": zdf["SNP"],
+                       "Z": np.random.default_rng(1).normal(size=len(zdf)),
+                       "N": 5000.0})
+    ss_path = str(tmp_path / "cli.sumstats")
+    ss.to_csv(ss_path, sep="\t", index=False)
+    res = runner.invoke(main, ["h2", "--sumstats", ss_path, "--ref-ld", out,
+                               "--w-ld", out, "--n-blocks", "20", "--display"])
+    assert res.exit_code == 0, res.output
+    assert "h2 summary" in res.output
+
+    # mismatched ref/w ld rejected
+    res = runner.invoke(main, ["h2", "--sumstats", ss_path, "--ref-ld", out,
+                               "--w-ld", "other"])
+    assert res.exit_code != 0
+
+
+def test_cli_requires_one_window(toy_bfile):
+    from click.testing import CliRunner
+
+    from nldsc_tpu.cli import main
+
+    prefix, *_ = toy_bfile
+    runner = CliRunner()
+    res = runner.invoke(main, ["ld", "--bfile", prefix])
+    assert res.exit_code != 0
+    res = runner.invoke(main, ["ld", "--bfile", prefix, "-kb", "5", "-cm", "1"])
+    assert res.exit_code != 0
