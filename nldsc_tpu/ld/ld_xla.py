@@ -71,7 +71,8 @@ def finalize_outputs(l2_acc, l2d_acc, ws, wsd, wse, poison, usable, add_sd_zero)
 
 @partial(jax.jit, static_argnames=("block_size", "band_k", "n_samples"))
 def ld_scores_xla(add, res, lo, hi, usable, dom_ok, add_sd_zero, blk_lo,
-                  rsq_thr, *, block_size: int, band_k: int, n_samples: int):
+                  blk_hi, rsq_thr, *, block_size: int, band_k: int,
+                  n_samples: int):
     """Dense-in-HBM banded LD pass.
 
     Parameters
@@ -80,7 +81,7 @@ def ld_scores_xla(add, res, lo, hi, usable, dom_ok, add_sd_zero, blk_lo,
         rows (from :mod:`preprocess`); padding rows must have usable=False.
     lo, hi : int32 (M_pad,) inclusive window index bounds (windows.py).
     usable, dom_ok, add_sd_zero : bool (M_pad,).
-    blk_lo : int32 (n_blocks,) first neighbor block per pivot block.
+    blk_lo, blk_hi : int32 (n_blocks,) neighbor-block range per pivot block.
     rsq_thr : f32 scalar.
     block_size, band_k, n_samples : static ints.
 
@@ -115,7 +116,7 @@ def ld_scores_xla(add, res, lo, hi, usable, dom_ok, add_sd_zero, blk_lo,
                             preferred_element_type=jnp.float32)
 
             # guard against the clipped j0 re-visiting a block (k overrun)
-            valid_k = (jblk * B >= 0) & (jblk * B <= m_pad - B) & (jblk * B == j0)
+            valid_k = jblk <= blk_hi[b]
             usable_j = usable_j & valid_k
 
             l2_p, l2d_p, ws_p, wsd_p, wse_p, poi_p = _tile_epilogue(

@@ -53,7 +53,7 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
     n_pad = -(-n // 128) * 128
 
     lo, hi, pos_ok = windows.window_bounds(positions, config.ld_wind)
-    blk_lo, _blk_hi, band_k = windows.band_blocks(lo, hi, B, m_pad // B)
+    blk_lo, blk_hi, band_k = windows.band_blocks(lo, hi, B, m_pad // B)
 
     g = _pad_to(genotypes.astype(np.int8), m_pad, -1)
     if n_pad != n:
@@ -70,16 +70,19 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
 
     dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
 
+    args = (pre["add"], pre["res"], jnp.asarray(lo_pad), jnp.asarray(hi_pad),
+            pre["usable"], dom_ok, pre["add_sd_zero"],
+            jnp.asarray(blk_lo), jnp.asarray(blk_hi))
     if config.use_pallas:
         from . import ld_pallas  # noqa: PLC0415
-        runner = ld_pallas.ld_scores_pallas
+        l2, l2d, ws, wsd, wse = ld_pallas.ld_scores_pallas(
+            *args, rsq_thr=float(config.rsq_thr), block_size=B, band_k=band_k,
+            n_samples=n, sample_chunk=config.sample_chunk,
+            interpret=config.interpret)
     else:
-        runner = ld_xla.ld_scores_xla
-    l2, l2d, ws, wsd, wse = runner(
-        pre["add"], pre["res"], jnp.asarray(lo_pad), jnp.asarray(hi_pad),
-        pre["usable"], dom_ok, pre["add_sd_zero"],
-        jnp.asarray(blk_lo), jnp.float32(config.rsq_thr),
-        block_size=B, band_k=band_k, n_samples=n)
+        l2, l2d, ws, wsd, wse = ld_xla.ld_scores_xla(
+            *args, jnp.float32(config.rsq_thr), block_size=B, band_k=band_k,
+            n_samples=n)
 
     return {
         "l2": np.asarray(l2, dtype=np.float64)[:m],
