@@ -34,9 +34,10 @@ class LDConfig:
 
     # --- TPU engine knobs (no reference analog) ---
     block_size: int = 512          # SNP rows per tile (multiple of 8)
-    sample_chunk: int = 4096       # N-axis chunk for Pallas accumulation
-    use_pallas: bool = True        # fused kernel vs plain-XLA banded path
+    sample_chunk: int = 1024       # N-axis chunk for Pallas accumulation
+    use_pallas: bool = False       # fused Pallas kernel vs banded-slab XLA path
     interpret: bool = False        # Pallas interpreter mode (debug)
+    matmul_precision: str = "highest"  # 'highest' (f32) | 'high' (bf16_3x)
 
     def __post_init__(self):
         wind = float(self.ld_wind)
@@ -65,6 +66,8 @@ class LDConfig:
             raise NLDSCParameterError("r-squared threshold must be between 0 and 0.1!")
         if self.block_size % 8 != 0 or self.block_size <= 0:
             raise NLDSCParameterError("block_size must be a positive multiple of 8")
+        if self.matmul_precision not in ("high", "highest"):
+            raise NLDSCParameterError("matmul_precision must be 'high' or 'highest'")
 
     def resolve_rsq(self, n_snp: int) -> "LDConfig":
         """Fill the default rsq threshold (1/n_snp, routine.py:70-72)."""

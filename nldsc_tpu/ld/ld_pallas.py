@@ -47,7 +47,8 @@ def _kernel(blk_lo_ref, blk_hi_ref,          # scalar prefetch (SMEM)
             meta_i_ref, meta_j_ref,          # metadata (1, 8, B) int32
             out_ref,                         # outputs (1, 8, B) f32
             acc_add, acc_dom,                # VMEM scratch (B, B)
-            *, n_samples: int, rsq_thr: float, block_size: int):
+            *, n_samples: int, rsq_thr: float, block_size: int,
+            precision: str):
     b = pl.program_id(0)
     k = pl.program_id(1)
     c = pl.program_id(2)
@@ -66,10 +67,10 @@ def _kernel(blk_lo_ref, blk_hi_ref,          # scalar prefetch (SMEM)
     dims = (((1,), (1,)), ((), ()))  # contract sample axes: ya @ za.T
     acc_add[...] += lax.dot_general(
         ya_ref[...], za_ref[...], dims,
-        preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+        preferred_element_type=jnp.float32, precision=precision)
     acc_dom[...] += lax.dot_general(
         ya_ref[...], zr_ref[...], dims,
-        preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+        preferred_element_type=jnp.float32, precision=precision)
 
     @pl.when(c == n_chunks - 1)
     def _epilogue():
@@ -123,11 +124,11 @@ def pack_metadata(lo, hi, usable, dom_ok, add_sd_zero, nb: int, B: int):
 @functools.partial(
     jax.jit,
     static_argnames=("rsq_thr", "block_size", "band_k", "n_samples",
-                     "sample_chunk", "interpret"))
+                     "sample_chunk", "interpret", "precision"))
 def ld_scores_pallas(add, res, lo, hi, usable, dom_ok, add_sd_zero,
                      blk_lo, blk_hi, *, rsq_thr: float, block_size: int,
                      band_k: int, n_samples: int, sample_chunk: int = 1024,
-                     interpret: bool = False):
+                     interpret: bool = False, precision: str = "highest"):
     """Banded LD pass with the fused Pallas kernel.
 
     Same contract as :func:`nldsc_tpu.ld.ld_xla.ld_scores_xla`; see there
@@ -145,7 +146,8 @@ def ld_scores_pallas(add, res, lo, hi, usable, dom_ok, add_sd_zero,
     meta = pack_metadata(lo, hi, usable, dom_ok, add_sd_zero, nb, B)
 
     kern = functools.partial(_kernel, n_samples=n_samples,
-                             rsq_thr=float(rsq_thr), block_size=B)
+                             rsq_thr=float(rsq_thr), block_size=B,
+                             precision=precision)
 
     def pivot_map(b, k, c, blk_lo_ref, blk_hi_ref):
         return (b, c)

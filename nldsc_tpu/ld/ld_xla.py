@@ -69,10 +69,11 @@ def finalize_outputs(l2_acc, l2d_acc, ws, wsd, wse, poison, usable, add_sd_zero)
     return l2, l2d, ws_o, wsd_o, wse_o
 
 
-@partial(jax.jit, static_argnames=("block_size", "band_k", "n_samples"))
+@partial(jax.jit, static_argnames=("block_size", "band_k", "n_samples",
+                                   "precision"))
 def ld_scores_xla(add, res, lo, hi, usable, dom_ok, add_sd_zero, blk_lo,
                   blk_hi, rsq_thr, *, block_size: int, band_k: int,
-                  n_samples: int):
+                  n_samples: int, precision: str = "highest"):
     """Dense-in-HBM banded LD pass.
 
     Parameters
@@ -90,6 +91,10 @@ def ld_scores_xla(add, res, lo, hi, usable, dom_ok, add_sd_zero, blk_lo,
     m_pad = add.shape[0]
     n_blocks = m_pad // block_size
     B = block_size
+    # the band of one pivot block is CONTIGUOUS in row space, so the whole
+    # neighbor set is one (band_rows, N) slab and one big MXU matmul —
+    # far better MXU utilization than band_k separate (B, N) tiles
+    band_rows = min(band_k * B, m_pad)
 
     def pivot_block(b):
         r0 = b * B
@@ -99,35 +104,22 @@ def ld_scores_xla(add, res, lo, hi, usable, dom_ok, add_sd_zero, blk_lo,
         hi_i = lax.dynamic_slice_in_dim(hi, r0, B)
         usable_i = lax.dynamic_slice_in_dim(usable, r0, B)
 
-        def body(k, acc):
-            l2_a, l2d_a, ws_a, wsd_a, wse_a, poi_a = acc
-            jblk = blk_lo[b] + k
-            j0 = jnp.clip(jblk * B, 0, m_pad - B)
-            za = lax.dynamic_slice_in_dim(add, j0, B, axis=0)
-            zr = lax.dynamic_slice_in_dim(res, j0, B, axis=0)
-            gj = j0 + jnp.arange(B, dtype=jnp.int32)
-            usable_j = lax.dynamic_slice_in_dim(usable, j0, B)
-            dom_ok_j = lax.dynamic_slice_in_dim(dom_ok, j0, B)
-            poison_j = lax.dynamic_slice_in_dim(add_sd_zero, j0, B)
+        j0 = jnp.clip(blk_lo[b] * B, 0, m_pad - band_rows)
+        za = lax.dynamic_slice_in_dim(add, j0, band_rows, axis=0)
+        zr = lax.dynamic_slice_in_dim(res, j0, band_rows, axis=0)
+        gj = j0 + jnp.arange(band_rows, dtype=jnp.int32)
+        usable_j = lax.dynamic_slice_in_dim(usable, j0, band_rows)
+        dom_ok_j = lax.dynamic_slice_in_dim(dom_ok, j0, band_rows)
+        poison_j = lax.dynamic_slice_in_dim(add_sd_zero, j0, band_rows)
 
-            c_add = jnp.dot(ya, za.T, precision=lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)
-            c_dom = jnp.dot(ya, zr.T, precision=lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)
+        c_add = jnp.dot(ya, za.T, precision=precision,
+                        preferred_element_type=jnp.float32)
+        c_dom = jnp.dot(ya, zr.T, precision=precision,
+                        preferred_element_type=jnp.float32)
 
-            # guard against the clipped j0 re-visiting a block (k overrun)
-            valid_k = jblk <= blk_hi[b]
-            usable_j = usable_j & valid_k
-
-            l2_p, l2d_p, ws_p, wsd_p, wse_p, poi_p = _tile_epilogue(
-                c_add, c_dom, gi, gj, lo_i, hi_i, usable_i, usable_j,
-                dom_ok_j, poison_j, n_samples, rsq_thr)
-            return (l2_a + l2_p, l2d_a + l2d_p, ws_a + ws_p,
-                    wsd_a + wsd_p, wse_a + wse_p, poi_a + poi_p)
-
-        zf = jnp.zeros(B, jnp.float32)
-        zi = jnp.zeros(B, jnp.int32)
-        return lax.fori_loop(0, band_k, body, (zf, zf, zi, zi, zi, zi))
+        return _tile_epilogue(
+            c_add, c_dom, gi, gj, lo_i, hi_i, usable_i, usable_j,
+            dom_ok_j, poison_j, n_samples, rsq_thr)
 
     accs = lax.map(pivot_block, jnp.arange(n_blocks, dtype=jnp.int32))
     l2_acc, l2d_acc, ws, wsd, wse, poison = (a.reshape(m_pad) for a in accs)

@@ -78,11 +78,11 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
         l2, l2d, ws, wsd, wse = ld_pallas.ld_scores_pallas(
             *args, rsq_thr=float(config.rsq_thr), block_size=B, band_k=band_k,
             n_samples=n, sample_chunk=config.sample_chunk,
-            interpret=config.interpret)
+            interpret=config.interpret, precision=config.matmul_precision)
     else:
         l2, l2d, ws, wsd, wse = ld_xla.ld_scores_xla(
             *args, jnp.float32(config.rsq_thr), block_size=B, band_k=band_k,
-            n_samples=n)
+            n_samples=n, precision=config.matmul_precision)
 
     return {
         "l2": np.asarray(l2, dtype=np.float64)[:m],
@@ -124,7 +124,7 @@ def estimate_lds(
     extra: bool = False,
     summary: bool = False,
     block_size: int = 512,
-    use_pallas: bool = True,
+    use_pallas: bool = False,
     write_m: bool = True,
 ) -> pd.DataFrame | None:
     """Estimate additive + dominance LD scores from a PLINK bfile.
