@@ -73,12 +73,13 @@ def main(log_file):
               help="Include additional information (MAF WSA WSD WSDE RSTD) in the .L2 file")
 @click.option("--block-size", metavar="B", type=int, default=512,
               help="SNP rows per device tile")
-@click.option("--xla-only", is_flag=True, default=False,
-              help="Disable the fused Pallas kernel (debug)")
+@click.option("--pallas", is_flag=True, default=False,
+              help="Use the fused Pallas kernel instead of the banded-slab "
+                   "XLA engine")
 @click.option("--display", is_flag=True, default=False, help="Display traceback")
 @handle_exception
 def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
-           extra, block_size, xla_only):
+           extra, block_size, pallas):
     if sum(map(bool, [ld_wind_kb, ld_wind_cm])) != 1:
         raise RuntimeError("Please, specify exactly one --ld-wind option")
     if ld_wind_kb:
@@ -92,7 +93,7 @@ def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
         bfile, ld_wind=ld_wind, wind_metric=wind_metric,
         maf_thr=maf_thr, std_thr=std_thr, rsq_thr=rsq_thr,
         out=out, extra=extra, summary=True,
-        block_size=block_size, use_pallas=not xla_only,
+        block_size=block_size, use_pallas=pallas,
     )
     if df is not None and out is None:
         click.echo(df.to_string(max_rows=40))

@@ -1,0 +1,196 @@
+"""SNP-sharded LD scores: shard_map + ppermute halo exchange.
+
+Structure (the TPU-native replacement for the reference's single-threaded
+sliding-window cache, ``stream.h:106-198``):
+
+* the padded SNP axis is split evenly over the 1-D ``snp`` mesh; every
+  shard *owns* its rows' outputs (no cross-device reductions at all —
+  results are bitwise-identical to the single-device slab engine);
+* preprocessing (impute/standardize/residualize) runs shard-local;
+* each shard sends its first/last ``H`` preprocessed rows to its ring
+  neighbors with ``lax.ppermute`` (non-wrapping: edge shards receive zeros,
+  which are masked out by global-index bounds), where ``H`` covers the
+  maximum one-sided window span;
+* the banded slab matmul then runs entirely shard-local against the
+  halo-extended (L + 2H, N) arrays.
+
+When the window span exceeds what a single-hop halo can cover
+(H > L), the driver falls back to replicating the preprocessed arrays
+(`all_gather`) — correct at any window size, just more memory traffic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ..ld.ld_xla import _tile_epilogue, finalize_outputs
+from ..ld.preprocess import preprocess_block
+from .mesh import SNP_AXIS
+
+
+def _halo_exchange(x: jnp.ndarray, h: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Return (from_left, from_right) halo rows of width h (zeros at edges)."""
+    n_shards = lax.axis_size(SNP_AXIS)
+    right = [(i, i + 1) for i in range(n_shards - 1)]   # send right
+    left = [(i + 1, i) for i in range(n_shards - 1)]    # send left
+    from_left = lax.ppermute(x[-h:], SNP_AXIS, right)
+    from_right = lax.ppermute(x[:h], SNP_AXIS, left)
+    return from_left, from_right
+
+
+def _extend(x: jnp.ndarray, h: int) -> jnp.ndarray:
+    fl, fr = _halo_exchange(x, h)
+    return jnp.concatenate([fl, x, fr], axis=0)
+
+
+def _shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
+              rsq_thr, n_samples, block_size, band_k, halo_rows, m_pad,
+              precision):
+    """Per-shard computation inside shard_map.
+
+    g : int8 (L, N_pad) local genotype rows;
+    pos_ok : bool (L,) local; lo/hi/blk_lo/blk_hi : replicated (global).
+    """
+    B = block_size
+    L = g.shape[0]
+    H = halo_rows
+    shard = lax.axis_index(SNP_AXIS)
+    shard_start = shard * L
+
+    pre = preprocess_block(g, pos_ok, jnp.float32(maf_thr),
+                           n_samples=n_samples)
+    usable = pre["usable"]
+    dom_ok = usable & (pre["rstd"] > jnp.float32(std_thr))
+    poison = pre["add_sd_zero"]
+
+    # halo-extend data + device-computed masks (window bounds are replicated)
+    add_ext = _extend(pre["add"], H)
+    res_ext = _extend(pre["res"], H)
+    meta_local = jnp.stack([usable, dom_ok, poison], axis=1).astype(jnp.int32)
+    meta_ext = _extend(meta_local, H)
+
+    band_rows = min(band_k * B, L + 2 * H)
+    ext_rows = L + 2 * H
+
+    def pivot_block(b_local):
+        gb = shard * (L // B) + b_local             # global pivot block
+        r0 = b_local * B
+        ya = lax.dynamic_slice_in_dim(add_ext, H + r0, B, axis=0)
+        gi = shard_start + r0 + jnp.arange(B, dtype=jnp.int32)
+        lo_i = lax.dynamic_slice_in_dim(lo, shard_start + r0, B)
+        hi_i = lax.dynamic_slice_in_dim(hi, shard_start + r0, B)
+        usable_i = lax.dynamic_slice_in_dim(usable, r0, B)
+
+        j0_ext = jnp.clip(blk_lo[gb] * B - (shard_start - H),
+                          0, ext_rows - band_rows)
+        za = lax.dynamic_slice_in_dim(add_ext, j0_ext, band_rows, axis=0)
+        zr = lax.dynamic_slice_in_dim(res_ext, j0_ext, band_rows, axis=0)
+        mj = lax.dynamic_slice_in_dim(meta_ext, j0_ext, band_rows, axis=0)
+        gj = (shard_start - H) + j0_ext + jnp.arange(band_rows, dtype=jnp.int32)
+
+        in_range = (gj >= 0) & (gj < m_pad)
+        usable_j = (mj[:, 0] > 0) & in_range
+        dom_ok_j = (mj[:, 1] > 0) & in_range
+        poison_j = (mj[:, 2] > 0) & in_range
+
+        c_add = jnp.dot(ya, za.T, precision=precision,
+                        preferred_element_type=jnp.float32)
+        c_dom = jnp.dot(ya, zr.T, precision=precision,
+                        preferred_element_type=jnp.float32)
+        return _tile_epilogue(c_add, c_dom, gi, gj, lo_i, hi_i, usable_i,
+                              usable_j, dom_ok_j, poison_j, n_samples, rsq_thr)
+
+    accs = lax.map(pivot_block, jnp.arange(L // B, dtype=jnp.int32))
+    flat = tuple(a.reshape(L) for a in accs)
+    return flat + (usable, poison, pre["maf"], pre["rstd"])
+
+
+@partial(jax.jit,
+         static_argnames=("maf_thr", "std_thr", "rsq_thr", "n_samples",
+                          "block_size", "band_k", "halo_rows", "precision",
+                          "mesh"))
+def _sharded_call(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
+                  rsq_thr, n_samples, block_size, band_k, halo_rows,
+                  precision, mesh):
+    m_pad = g.shape[0]
+    fn = partial(_shard_fn, maf_thr=maf_thr, std_thr=std_thr,
+                 rsq_thr=jnp.float32(rsq_thr), n_samples=n_samples,
+                 block_size=block_size, band_k=band_k, halo_rows=halo_rows,
+                 m_pad=m_pad, precision=precision)
+    sharded = P(SNP_AXIS)
+    repl = P()
+    out = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(sharded, sharded, repl, repl, repl, repl),
+        out_specs=tuple([sharded] * 10),
+    )(g, pos_ok, lo, hi, blk_lo, blk_hi)
+    l2_acc, l2d_acc, ws, wsd, wse, poi, usable, add_sd_zero, maf, rstd = out
+    l2, l2d, ws_o, wsd_o, wse_o = finalize_outputs(
+        l2_acc, l2d_acc, ws, wsd, wse, poi, usable, add_sd_zero)
+    nan = jnp.float32(jnp.nan)
+    rstd_o = jnp.where(usable & ~add_sd_zero, rstd, nan)
+    return l2, l2d, ws_o, wsd_o, wse_o, maf, rstd_o
+
+
+def ld_scores_sharded(genotypes: np.ndarray, positions: np.ndarray, config,
+                      mesh) -> dict:
+    """Sharded in-core LD scores over a 1-D device mesh.
+
+    Same host contract as ``pipeline.compute_ld_scores`` but the genotype
+    matrix is scattered row-wise over ``mesh`` and everything downstream —
+    preprocessing, halo exchange, banded matmuls — runs under shard_map.
+    """
+    from ..ld import windows  # noqa: PLC0415
+
+    m, n = genotypes.shape
+    B = config.block_size
+    n_dev = mesh.devices.size
+    chunk = B * n_dev
+    m_pad = -(-m // chunk) * chunk
+    n_pad = -(-n // 128) * 128
+    L = m_pad // n_dev
+    if B > L:
+        raise ValueError(f"block_size {B} exceeds shard rows {L}")
+
+    lo, hi, pos_ok = windows.window_bounds(positions, config.ld_wind)
+    blk_lo, blk_hi, band_k = windows.band_blocks(lo, hi, B, m_pad // B)
+    halo = windows.max_halo_rows(lo, hi)
+    halo_rows = min(-(-halo // B) * B, L)
+    if halo > L:
+        raise NotImplementedError(
+            f"window span ({halo} rows) exceeds shard size ({L} rows); "
+            "use fewer devices or larger blocks (multi-hop halo TBD)")
+
+    g = np.full((m_pad, n_pad), -1, dtype=np.int8)
+    g[:m, :n] = genotypes
+    pos_ok_pad = np.zeros(m_pad, dtype=bool)
+    pos_ok_pad[:m] = pos_ok
+    lo_pad = np.concatenate([lo, np.full(m_pad - m, m_pad, np.int32)]).astype(np.int32)
+    hi_pad = np.concatenate([hi, np.full(m_pad - m, -1, np.int32)]).astype(np.int32)
+
+    with mesh:
+        outs = _sharded_call(
+            jnp.asarray(g), jnp.asarray(pos_ok_pad), jnp.asarray(lo_pad),
+            jnp.asarray(hi_pad), jnp.asarray(blk_lo), jnp.asarray(blk_hi),
+            maf_thr=float(config.maf_thr), std_thr=float(config.std_thr),
+            rsq_thr=float(config.rsq_thr), n_samples=n, block_size=B,
+            band_k=band_k, halo_rows=halo_rows,
+            precision=config.matmul_precision, mesh=mesh)
+
+    l2, l2d, ws, wsd, wse, maf, rstd = outs
+    return {
+        "l2": np.asarray(l2, dtype=np.float64)[:m],
+        "l2d": np.asarray(l2d, dtype=np.float64)[:m],
+        "maf": np.asarray(maf, dtype=np.float64)[:m],
+        "residuals_std": np.asarray(rstd, dtype=np.float64)[:m],
+        "l2_ws": np.asarray(ws, dtype=np.int64)[:m],
+        "l2d_ws": np.asarray(wsd, dtype=np.int64)[:m],
+        "l2d_wse": np.asarray(wse, dtype=np.int64)[:m],
+    }

@@ -88,8 +88,7 @@ def test_cli_ld_and_h2(toy_bfile, tmp_path, rng):
     runner = CliRunner()
     res = runner.invoke(main, ["ld", "--bfile", prefix, "-kb", "10",
                                "-maf", "0.01", "--extra", "-o", out,
-                               "--block-size", "64", "--xla-only",
-                               "--display"])
+                               "--block-size", "64", "--display"])
     assert res.exit_code == 0, res.output
     df = pd.read_csv(out, sep="\t")
     assert "WSDE" in df.columns

@@ -1,0 +1,69 @@
+"""Sharded (8 virtual devices) vs single-device LD parity."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from nldsc_tpu.config import LDConfig
+from nldsc_tpu.ld.oracle import oracle_ld
+from nldsc_tpu.ld.pipeline import compute_ld_scores
+from nldsc_tpu.parallel import ld_scores_sharded, snp_mesh
+
+from test_ld_device import assert_ld_parity
+from utils import adversarial_genotypes, make_positions, random_genotypes
+
+
+def _cfg(**kw):
+    kw.setdefault("ld_wind", 5000)
+    kw.setdefault("wind_metric", "bp")
+    kw.setdefault("maf_thr", 0.01)
+    kw.setdefault("std_thr", 1e-4)
+    kw.setdefault("rsq_thr", 1e-3)
+    kw.setdefault("block_size", 16)
+    return LDConfig(**kw)
+
+
+def test_sharded_matches_dense(rng):
+    assert len(jax.devices()) == 8
+    g = random_genotypes(rng, 240, 200, missing_rate=0.03)
+    pos = make_positions(240, spacing=900, jitter_rng=rng)
+    cfg = _cfg()
+    mesh = snp_mesh(8)
+    res_s = ld_scores_sharded(g, pos, cfg, mesh)
+    res_d = compute_ld_scores(g, pos, cfg)
+    for k in ("l2", "l2d", "maf", "residuals_std"):
+        np.testing.assert_allclose(res_s[k], res_d[k], rtol=1e-6, atol=1e-6,
+                                   equal_nan=True, err_msg=k)
+    for k in ("l2_ws", "l2d_ws", "l2d_wse"):
+        np.testing.assert_array_equal(res_s[k], res_d[k], err_msg=k)
+
+
+def test_sharded_matches_oracle_adversarial(rng):
+    adv = adversarial_genotypes(rng, 128)
+    g = np.concatenate([random_genotypes(rng, 61, 128, missing_rate=0.05),
+                        adv,
+                        random_genotypes(rng, 61, 128, missing_rate=0.05)])
+    pos = make_positions(len(g), spacing=1000, skip_idx=(2, 40))
+    cfg = _cfg(ld_wind=9000, maf_thr=1e-5, block_size=8)
+    res = ld_scores_sharded(g, pos, cfg, snp_mesh(8))
+    ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr, cfg.rsq_thr)
+    assert_ld_parity(res, ora)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_device_count_invariance(rng, n_dev):
+    g = random_genotypes(rng, 130, 96, missing_rate=0.02)
+    pos = make_positions(130, spacing=700)
+    cfg = _cfg(ld_wind=4000, block_size=8)
+    res = ld_scores_sharded(g, pos, cfg, snp_mesh(n_dev))
+    ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr, cfg.rsq_thr)
+    assert_ld_parity(res, ora)
+
+
+def test_window_wider_than_shard_rejected(rng):
+    g = random_genotypes(rng, 128, 64)
+    pos = make_positions(128, spacing=10)  # everything within window
+    cfg = _cfg(ld_wind=1e6, block_size=8)
+    with pytest.raises(NotImplementedError):
+        ld_scores_sharded(g, pos, cfg, snp_mesh(8))
