@@ -76,10 +76,17 @@ def main(log_file):
 @click.option("--pallas", is_flag=True, default=False,
               help="Use the fused Pallas kernel instead of the banded-slab "
                    "XLA engine")
+@click.option("--streaming/--no-streaming", "streaming", default=None,
+              help="Force the out-of-core engine on/off (default: auto by "
+                   "memory footprint)")
+@click.option("--chunk-rows", metavar="R", type=int, default=8192,
+              help="Pivot rows per streaming chunk")
+@click.option("--resume", "resume_path", metavar="FILE", default=None,
+              help="Checkpoint file for chunk-granular resume (streaming)")
 @click.option("--display", is_flag=True, default=False, help="Display traceback")
 @handle_exception
 def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
-           extra, block_size, pallas):
+           extra, block_size, pallas, streaming, chunk_rows, resume_path):
     if sum(map(bool, [ld_wind_kb, ld_wind_cm])) != 1:
         raise RuntimeError("Please, specify exactly one --ld-wind option")
     if ld_wind_kb:
@@ -94,6 +101,7 @@ def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
         maf_thr=maf_thr, std_thr=std_thr, rsq_thr=rsq_thr,
         out=out, extra=extra, summary=True,
         block_size=block_size, use_pallas=pallas,
+        streaming=streaming, chunk_rows=chunk_rows, resume_path=resume_path,
     )
     if df is not None and out is None:
         click.echo(df.to_string(max_rows=40))

@@ -62,6 +62,26 @@ class HsqResult:
     weights_checkpoint: jnp.ndarray  # final IRWLS weights (pre-sqrt)
 
 
+def h2_obs_to_liability(h2_obs: float, P: float, K: float) -> float:
+    """Observed-scale h² in an ascertained sample -> liability-scale h²
+    (reference regressions.py:30-58).
+
+    P: sample prevalence; K: population prevalence (both in (0,1);
+    NaN/NaN passes h2_obs through unchanged).
+    """
+    from scipy import stats as ss  # noqa: PLC0415
+
+    if np.isnan(P) and np.isnan(K):
+        return h2_obs
+    if not 0 < K < 1:
+        raise ValueError("K must be in the range (0, 1)")
+    if not 0 < P < 1:
+        raise ValueError("P must be in the range (0, 1)")
+    thresh = ss.norm.isf(K)
+    conversion = K**2 * (1 - K)**2 / (P * (1 - P) * ss.norm.pdf(thresh)**2)
+    return h2_obs * conversion
+
+
 def weights_additive(ld, w_ld, N, M_tot, hsq, intercept=None):
     """Heteroskedasticity × overcounting weights (regressions.py:465-503)."""
     if intercept is None:

@@ -111,6 +111,10 @@ def show_summary(result: dict) -> str:
     return text
 
 
+#: auto-switch to the streaming engine above this estimated HBM footprint
+STREAMING_BYTES_THRESHOLD = 8 << 30
+
+
 @elapsed_time
 def estimate_lds(
     bfile: str,
@@ -126,12 +130,19 @@ def estimate_lds(
     block_size: int = 512,
     use_pallas: bool = False,
     write_m: bool = True,
+    streaming: bool | None = None,
+    chunk_rows: int = 8192,
+    resume_path: str | None = None,
 ) -> pd.DataFrame | None:
     """Estimate additive + dominance LD scores from a PLINK bfile.
 
     API parity with the reference ``estimate_lds``
     (``nldsc/ldscore/routine.py:51-102``); returns the DataFrame when ``out``
     is None, else writes ``<out>`` TSV (and ``.M``/``.M_5_50``).
+
+    ``streaming=None`` auto-selects the out-of-core engine when the dense
+    working set would exceed ~8 GB of device memory; ``resume_path`` enables
+    chunk-granular checkpoint/resume (streaming engine only).
     """
     ds = PlinkDataset.parse(bfile)
     config = LDConfig(
@@ -143,11 +154,23 @@ def estimate_lds(
     log.info("Input: %s, size: (M=%d, N=%d)", ds.bed_path, ds.n_snp, ds.n_samples)
     positions = ds.positions(config.wind_metric)
 
-    log.info("Decoding genotypes...")
-    genotypes = ds.bed.read_all()
+    if streaming is None:
+        dense_bytes = 2 * 4 * ds.n_snp * (-(-ds.n_samples // 128) * 128)
+        streaming = dense_bytes > STREAMING_BYTES_THRESHOLD
 
-    log.info("Running the TPU LD estimator...")
-    result = compute_ld_scores(genotypes, positions, config)
+    if streaming:
+        from .streaming import compute_ld_scores_streaming  # noqa: PLC0415
+
+        log.info("Running the TPU LD estimator (streaming, chunk=%d rows)...",
+                 chunk_rows)
+        result = compute_ld_scores_streaming(
+            ds.bed, positions, config, chunk_rows=chunk_rows,
+            resume_path=resume_path)
+    else:
+        log.info("Decoding genotypes...")
+        genotypes = ds.bed.read_all()
+        log.info("Running the TPU LD estimator...")
+        result = compute_ld_scores(genotypes, positions, config)
     log.info("Estimation completed")
 
     if summary:

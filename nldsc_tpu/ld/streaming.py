@@ -1,0 +1,190 @@
+"""Out-of-core (streaming) LD scores for datasets larger than HBM.
+
+The reference handles big data by streaming one SNP at a time through a C++
+sliding cache (``stream.h:106-198``).  The TPU equivalent is *chunked band
+recompute*: pivot rows are processed in super-chunks of ``chunk_rows``; for
+each chunk the engine
+
+  1. block-decodes only the chunk's window band ``[band_lo, band_hi)`` of
+     the .bed (a contiguous byte range — SNP-major layout),
+  2. preprocesses the band on device (cheap vs the matmuls),
+  3. runs the banded slab matmuls for the chunk's pivot blocks,
+  4. streams the per-SNP outputs back to host.
+
+Device memory is bounded by the band (≈ chunk_rows + 2·window_span rows of
+f32), independent of total M.  Band overlap between consecutive chunks is
+re-preprocessed — an O(window/chunk) overhead on the cheap stage only.
+
+Each chunk is independent given its band, so the pass checkpoints at chunk
+granularity: with ``resume_path`` set, completed chunks are persisted
+(.npz) and skipped on restart — the checkpoint/resume behavior the
+reference lacks entirely (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.logging import log
+from .ld_xla import _tile_epilogue, finalize_outputs
+from .preprocess import preprocess_block
+from . import windows
+
+
+@partial(jax.jit, static_argnames=("block_size", "band_k", "n_samples",
+                                   "n_piv_blocks", "precision"))
+def _banded_chunk(add_b, res_b, usable_b, dom_ok_b, poison_b,
+                  lo_piv, hi_piv, blk_lo_piv, band_g0, piv_off, m_pad,
+                  rsq_thr, *, block_size: int, band_k: int, n_samples: int,
+                  n_piv_blocks: int, precision: str):
+    """Banded slab pass for one pivot chunk against its loaded band.
+
+    add_b/res_b: (band_rows, n_pad) preprocessed band; *_b masks (band_rows,).
+    lo_piv/hi_piv: global window bounds of the chunk's pivot rows.
+    blk_lo_piv: global first-neighbor-block per pivot block (n_piv_blocks,).
+    band_g0: global row of band start; piv_off: local offset of pivot rows.
+    """
+    B = block_size
+    band_rows_total = add_b.shape[0]
+    slab_rows = min(band_k * B, band_rows_total)
+
+    def pivot_block(b):
+        r0 = piv_off + b * B
+        ya = lax.dynamic_slice_in_dim(add_b, r0, B, axis=0)
+        gi = band_g0 + r0 + jnp.arange(B, dtype=jnp.int32)
+        lo_i = lax.dynamic_slice_in_dim(lo_piv, b * B, B)
+        hi_i = lax.dynamic_slice_in_dim(hi_piv, b * B, B)
+        usable_i = lax.dynamic_slice_in_dim(usable_b, r0, B)
+
+        j0 = jnp.clip(blk_lo_piv[b] * B - band_g0, 0,
+                      band_rows_total - slab_rows)
+        za = lax.dynamic_slice_in_dim(add_b, j0, slab_rows, axis=0)
+        zr = lax.dynamic_slice_in_dim(res_b, j0, slab_rows, axis=0)
+        gj = band_g0 + j0 + jnp.arange(slab_rows, dtype=jnp.int32)
+        in_range = gj < m_pad
+        usable_j = lax.dynamic_slice_in_dim(usable_b, j0, slab_rows) & in_range
+        dom_ok_j = lax.dynamic_slice_in_dim(dom_ok_b, j0, slab_rows) & in_range
+        poison_j = lax.dynamic_slice_in_dim(poison_b, j0, slab_rows) & in_range
+
+        c_add = jnp.dot(ya, za.T, precision=precision,
+                        preferred_element_type=jnp.float32)
+        c_dom = jnp.dot(ya, zr.T, precision=precision,
+                        preferred_element_type=jnp.float32)
+        return _tile_epilogue(c_add, c_dom, gi, gj, lo_i, hi_i, usable_i,
+                              usable_j, dom_ok_j, poison_j, n_samples,
+                              rsq_thr)
+
+    return lax.map(pivot_block, jnp.arange(n_piv_blocks, dtype=jnp.int32))
+
+
+def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
+                                chunk_rows: int = 8192,
+                                resume_path: str | None = None) -> dict:
+    """Streamed LD scores from a :class:`BedReader` (out-of-core in M).
+
+    Same result contract as ``pipeline.compute_ld_scores``.  ``chunk_rows``
+    bounds device memory: the band held on device is at most
+    ``chunk_rows + 2*window_span`` rows (f32, both encodings).
+    """
+    m, n = bed.n_snp, bed.n_samples
+    B = config.block_size
+    chunk_rows = max(B, (chunk_rows // B) * B)
+    m_pad = -(-m // B) * B
+    n_pad = -(-n // 128) * 128
+
+    lo, hi, pos_ok = windows.window_bounds(positions, config.ld_wind)
+    blk_lo_all, blk_hi_all, band_k = windows.band_blocks(lo, hi, B, m_pad // B)
+    halo = -(-windows.max_halo_rows(lo, hi) // B) * B
+
+    # fixed shapes across chunks -> one trace: pivot span always chunk_rows,
+    # band always chunk_rows + 2*halo; edges handled by masking
+    n_chunks = -(-m_pad // chunk_rows)
+    m_ext = n_chunks * chunk_rows
+    band_rows = chunk_rows + 2 * halo
+
+    def pad_meta(a, fill):
+        return np.concatenate(
+            [a, np.full(m_ext - len(a), fill, a.dtype)]).astype(a.dtype)
+
+    lo_pad = pad_meta(lo.astype(np.int32), np.int32(m_pad))
+    hi_pad = pad_meta(hi.astype(np.int32), np.int32(-1))
+    pos_ok_pad = pad_meta(pos_ok, False)
+    nbk = len(blk_lo_all)
+    blk_lo_pad = np.concatenate(
+        [blk_lo_all, np.arange(nbk, m_ext // B, dtype=np.int32)])
+
+    out = {k: np.full(m_ext, np.nan) for k in ("l2", "l2d", "maf",
+                                               "residuals_std")}
+    for k in ("l2_ws", "l2d_ws", "l2d_wse"):
+        out[k] = np.full(m_ext, -1, dtype=np.int64)
+
+    done = set()
+    if resume_path and os.path.exists(resume_path):
+        saved = np.load(resume_path, allow_pickle=True)
+        done = set(int(c) for c in saved["chunks"])
+        for k in out:
+            out[k] = saved[k]
+        log.info("Resuming: %d chunks already complete", len(done))
+
+    for ci in range(n_chunks):
+        if ci in done:
+            continue
+        p0 = ci * chunk_rows
+        p1 = p0 + chunk_rows
+        n_piv_blocks = chunk_rows // B
+        band_lo = p0 - halo              # may be negative (masked)
+        band_hi = band_lo + band_rows
+
+        g_band = np.full((band_rows, n_pad), -1, dtype=np.int8)
+        r0, r1 = max(band_lo, 0), min(band_hi, m)
+        if r1 > r0:
+            g_band[r0 - band_lo:r1 - band_lo, :n] = bed.read_block(r0, r1 - r0)
+        pos_ok_band = np.zeros(band_rows, dtype=bool)
+        g0c, g1c = max(band_lo, 0), min(band_hi, m_ext)
+        if g1c > g0c:
+            pos_ok_band[g0c - band_lo:g1c - band_lo] = pos_ok_pad[g0c:g1c]
+
+        pre = preprocess_block(
+            jnp.asarray(g_band), jnp.asarray(pos_ok_band),
+            jnp.float32(config.maf_thr), n_samples=n)
+        dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
+
+        accs = _banded_chunk(
+            pre["add"], pre["res"], pre["usable"], dom_ok, pre["add_sd_zero"],
+            jnp.asarray(lo_pad[p0:p1]), jnp.asarray(hi_pad[p0:p1]),
+            jnp.asarray(blk_lo_pad[p0 // B:p1 // B]),
+            jnp.int32(band_lo), jnp.int32(halo), jnp.int32(m_pad),
+            jnp.float32(config.rsq_thr),
+            block_size=B, band_k=band_k, n_samples=n,
+            n_piv_blocks=n_piv_blocks, precision=config.matmul_precision)
+
+        piv_sl = slice(halo, halo + chunk_rows)
+        usable_p = np.asarray(pre["usable"])[piv_sl]
+        poison_p = np.asarray(pre["add_sd_zero"])[piv_sl]
+        fin = finalize_outputs(
+            *(jnp.asarray(np.asarray(a).reshape(chunk_rows)) for a in accs),
+            jnp.asarray(usable_p), jnp.asarray(poison_p))
+        l2, l2d, ws, wsd, wse = (np.asarray(f) for f in fin)
+
+        out["l2"][p0:p1] = l2
+        out["l2d"][p0:p1] = l2d
+        out["maf"][p0:p1] = np.asarray(pre["maf"])[piv_sl]
+        out["residuals_std"][p0:p1] = np.asarray(pre["rstd"])[piv_sl]
+        out["l2_ws"][p0:p1] = ws
+        out["l2d_ws"][p0:p1] = wsd
+        out["l2d_wse"][p0:p1] = wse
+
+        done.add(ci)
+        if resume_path:
+            np.savez(resume_path, chunks=np.array(sorted(done)), **out)
+        log.info("chunk %d/%d done (rows %d..%d, band %d rows)",
+                 ci + 1, n_chunks, p0, p1, band_rows)
+
+    return {k: v[:m] for k, v in out.items()}

@@ -1,0 +1,58 @@
+"""Streaming (out-of-core) engine vs dense path + checkpoint/resume."""
+
+import numpy as np
+
+from nldsc_tpu.config import LDConfig
+from nldsc_tpu.io.plink import BedReader, write_plink
+from nldsc_tpu.ld.pipeline import compute_ld_scores
+from nldsc_tpu.ld.streaming import compute_ld_scores_streaming
+
+from utils import make_positions, random_genotypes
+
+
+def _setup(tmp_path, rng, m=300, n=180):
+    g = random_genotypes(rng, m, n, missing_rate=0.04)
+    pos = make_positions(m, spacing=800, jitter_rng=rng)
+    prefix = write_plink(tmp_path / "stream", g, bp=pos.astype(np.int64))
+    bed = BedReader(prefix + ".bed", m, n)
+    return g, pos, bed
+
+
+def _assert_same(a, b):
+    for k in ("l2", "l2d", "maf", "residuals_std"):
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-6,
+                                   equal_nan=True, err_msg=k)
+    for k in ("l2_ws", "l2d_ws", "l2d_wse"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_streaming_matches_dense(tmp_path, rng):
+    g, pos, bed = _setup(tmp_path, rng)
+    cfg = LDConfig(ld_wind=8000, wind_metric="bp", maf_thr=0.01,
+                   std_thr=1e-4, rsq_thr=1e-3, block_size=16)
+    dense = compute_ld_scores(g, pos.astype(np.float64), cfg)
+    for chunk in (64, 96, 512):
+        streamed = compute_ld_scores_streaming(
+            bed, pos.astype(np.float64), cfg, chunk_rows=chunk)
+        _assert_same(streamed, dense)
+
+
+def test_streaming_resume(tmp_path, rng):
+    g, pos, bed = _setup(tmp_path, rng)
+    cfg = LDConfig(ld_wind=5000, wind_metric="bp", maf_thr=0.01,
+                   std_thr=1e-4, rsq_thr=1e-3, block_size=16)
+    resume = str(tmp_path / "ck.npz")
+    full = compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg,
+                                       chunk_rows=64, resume_path=resume)
+
+    # simulate a partial run: drop the last two chunks from the checkpoint
+    saved = dict(np.load(resume, allow_pickle=True))
+    chunks = saved.pop("chunks")
+    partial = {k: v.copy() for k, v in saved.items()}
+    for k in ("l2", "l2d"):
+        partial[k][-100:] = np.nan
+    np.savez(resume, chunks=chunks[:-2], **partial)
+
+    resumed = compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg,
+                                          chunk_rows=64, resume_path=resume)
+    _assert_same(resumed, full)
