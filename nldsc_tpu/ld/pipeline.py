@@ -11,6 +11,8 @@ Pipeline (TPU-first redesign of ``nldsc/ldscore/routine.py:51-102``):
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import pandas as pd
 
@@ -133,6 +135,8 @@ def estimate_lds(
     streaming: bool | None = None,
     chunk_rows: int = 8192,
     resume_path: str | None = None,
+    n_devices: int | None = None,
+    profile_dir: str | None = None,
 ) -> pd.DataFrame | None:
     """Estimate additive + dominance LD scores from a PLINK bfile.
 
@@ -143,6 +147,10 @@ def estimate_lds(
     ``streaming=None`` auto-selects the out-of-core engine when the dense
     working set would exceed ~8 GB of device memory; ``resume_path`` enables
     chunk-granular checkpoint/resume (streaming engine only).
+
+    ``n_devices=None`` auto-shards the SNP axis over all local devices when
+    more than one is visible (in-core engine); ``profile_dir`` captures a
+    ``jax.profiler`` trace of the compute pass.
     """
     ds = PlinkDataset.parse(bfile)
     config = LDConfig(
@@ -158,20 +166,37 @@ def estimate_lds(
         dense_bytes = 2 * 4 * ds.n_snp * (-(-ds.n_samples // 128) * 128)
         streaming = dense_bytes > STREAMING_BYTES_THRESHOLD
 
-    if streaming:
-        from .streaming import compute_ld_scores_streaming  # noqa: PLC0415
+    import contextlib
+    prof = (jax.profiler.trace(profile_dir) if profile_dir
+            else contextlib.nullcontext())
+    t0 = time.time()
+    with prof:
+        if streaming:
+            from .streaming import compute_ld_scores_streaming  # noqa: PLC0415
 
-        log.info("Running the TPU LD estimator (streaming, chunk=%d rows)...",
-                 chunk_rows)
-        result = compute_ld_scores_streaming(
-            ds.bed, positions, config, chunk_rows=chunk_rows,
-            resume_path=resume_path)
-    else:
-        log.info("Decoding genotypes...")
-        genotypes = ds.bed.read_all()
-        log.info("Running the TPU LD estimator...")
-        result = compute_ld_scores(genotypes, positions, config)
-    log.info("Estimation completed")
+            log.info("Running the TPU LD estimator (streaming, chunk=%d rows)...",
+                     chunk_rows)
+            result = compute_ld_scores_streaming(
+                ds.bed, positions, config, chunk_rows=chunk_rows,
+                resume_path=resume_path)
+        else:
+            avail = len(jax.devices())
+            n_dev = avail if n_devices is None else n_devices
+            log.info("Decoding genotypes...")
+            genotypes = ds.bed.read_all()
+            if n_dev > 1 and avail > 1:
+                from ..parallel import ld_scores_sharded, snp_mesh  # noqa: PLC0415
+
+                log.info("Running the TPU LD estimator (%d-device SNP mesh)...",
+                         n_dev)
+                result = ld_scores_sharded(genotypes, positions, config,
+                                           snp_mesh(n_dev))
+            else:
+                log.info("Running the TPU LD estimator...")
+                result = compute_ld_scores(genotypes, positions, config)
+    dt = time.time() - t0
+    log.info("Estimation completed: %d SNPs in %.2fs (%.0f SNPs/s)",
+             ds.n_snp, dt, ds.n_snp / max(dt, 1e-9))
 
     if summary:
         show_summary(result)

@@ -1,0 +1,99 @@
+"""Multi-host scaffolding: jax.distributed + per-host shard ingestion.
+
+Two scale-out modes (SURVEY §2.2 plan):
+
+1. **Job-level (recommended, DCN-free)** — chromosomes round-robined over
+   hosts with :func:`assign_chromosomes`; each host runs its chromosomes on
+   its local chips (single-chromosome runs are embarrassingly parallel,
+   matching the reference's one-chromosome-per-file model).
+
+2. **Mesh-level (one huge chromosome across hosts)** — a global 1-D SNP
+   mesh spanning all processes: each host block-decodes only its own byte
+   range of the SNP-major `.bed` (a SNP range IS a contiguous byte range),
+   assembles the global sharded array with
+   ``jax.make_array_from_process_local_data``, and the sharded engine's
+   halo ``ppermute``s ride ICI within a slice / DCN across slices.
+
+This module is exercised single-process in CI (process_count == 1); the
+multi-process paths use only public, stable JAX APIs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.logging import log
+from .mesh import SNP_AXIS, snp_mesh
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Initialize the multi-host runtime (no-op when single-process)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    log.info("distributed: process %d/%d, %d local / %d global devices",
+             jax.process_index(), jax.process_count(),
+             jax.local_device_count(), jax.device_count())
+
+
+def assign_chromosomes(bfiles: list[str]) -> list[str]:
+    """Round-robin chromosome files over hosts (job-level scale-out)."""
+    pid, n = jax.process_index(), jax.process_count()
+    return [b for i, b in enumerate(bfiles) if i % n == pid]
+
+
+def global_snp_mesh():
+    """1-D SNP mesh over ALL devices of all processes."""
+    return snp_mesh(devices=jax.devices())
+
+
+def shard_rows_for_process(m_pad: int, mesh) -> tuple[int, int]:
+    """Global row range [start, stop) owned by this process on ``mesh``.
+
+    Rows are laid out contiguously per device in mesh order, so a process's
+    rows are the union of its addressable devices' rows — contiguous for a
+    standard mesh ordering.
+    """
+    devices = list(mesh.devices.flat)
+    per_dev = m_pad // len(devices)
+    mine = [i for i, d in enumerate(devices)
+            if d.process_index == jax.process_index()]
+    return min(mine) * per_dev, (max(mine) + 1) * per_dev
+
+
+def make_global_genotypes(local_rows: np.ndarray, m_pad: int, mesh):
+    """Assemble the globally-sharded int8 genotype array from this host's
+    locally-decoded row range (mesh-level mode)."""
+    sharding = NamedSharding(mesh, P(SNP_AXIS))
+    return jax.make_array_from_process_local_data(sharding, local_rows,
+                                                  (m_pad,) + local_rows.shape[1:])
+
+
+def estimate_lds_multihost(bfiles: list[str], out_template: str = "{stem}.L2",
+                           **kwargs) -> list[str]:
+    """Job-level multi-host driver: run this host's chromosomes locally.
+
+    ``bfiles``: all chromosome bfile prefixes (identical list on every
+    host). Returns the output paths this host produced.
+    """
+    from pathlib import Path
+
+    from ..ld.pipeline import estimate_lds
+
+    outs = []
+    for bfile in assign_chromosomes(bfiles):
+        stem = Path(bfile).stem
+        out = out_template.format(stem=stem)
+        log.info("host %d: chromosome %s -> %s", jax.process_index(),
+                 bfile, out)
+        estimate_lds(bfile, out=out, **kwargs)
+        outs.append(out)
+    return outs

@@ -1,0 +1,51 @@
+"""Single-process coverage of the multi-host scaffolding."""
+
+import numpy as np
+
+import jax
+
+from nldsc_tpu.parallel import distributed as dist
+from nldsc_tpu.parallel.mesh import snp_mesh
+
+from utils import make_positions, random_genotypes
+
+
+def test_assign_chromosomes_single_process():
+    files = [f"chr{i}" for i in range(1, 23)]
+    assert dist.assign_chromosomes(files) == files  # 1 process owns all
+
+
+def test_shard_rows_for_process():
+    mesh = snp_mesh(8)
+    start, stop = dist.shard_rows_for_process(800, mesh)
+    assert (start, stop) == (0, 800)  # single process owns every device
+
+
+def test_make_global_genotypes_roundtrip(rng):
+    mesh = snp_mesh(8)
+    g = random_genotypes(rng, 160, 64)
+    arr = dist.make_global_genotypes(g, 160, mesh)
+    assert arr.shape == (160, 64)
+    np.testing.assert_array_equal(np.asarray(arr), g)
+    # sharded over the snp axis
+    assert len(arr.sharding.device_set) == 8
+
+
+def test_multihost_driver_runs_locally(tmp_path, rng):
+    from nldsc_tpu.io.plink import write_plink
+
+    prefixes = []
+    for chrom in (21, 22):
+        g = random_genotypes(rng, 64, 40)
+        p = write_plink(tmp_path / f"chr{chrom}", g, chrom=chrom)
+        prefixes.append(p)
+    outs = dist.estimate_lds_multihost(
+        prefixes, out_template=str(tmp_path / "{stem}.L2"),
+        ld_wind=10, wind_metric="kbp", maf_thr=0.01, block_size=16,
+        extra=True)
+    assert len(outs) == 2
+    import pandas as pd
+
+    for o in outs:
+        df = pd.read_csv(o, sep="\t")
+        assert len(df) == 64
