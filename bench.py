@@ -25,7 +25,7 @@ import numpy as np
 
 M, N, WIN_SNPS = 16384, 16384, 1000
 SPACING = 100.0
-BLOCK = 512
+BLOCK = 256
 MAF_THR, STD_THR, RSQ_THR = 0.01, 1e-4, 1e-3
 
 CPU_M = 2048  # CPU baseline runs a subset, rate extrapolates per-SNP
@@ -47,6 +47,7 @@ def tpu_pass(g, pos):
     m, n = g.shape
     lo, hi, pos_ok = windows.window_bounds(pos, WIN_SNPS * SPACING)
     blk_lo, blk_hi, band_k = windows.band_blocks(lo, hi, BLOCK, m // BLOCK)
+    right_k = windows.right_band_blocks(blk_hi, BLOCK)
     g_dev = jnp.asarray(g)
     meta = (jnp.asarray(pos_ok), jnp.asarray(lo), jnp.asarray(hi),
             jnp.asarray(blk_lo), jnp.asarray(blk_hi))
@@ -56,10 +57,11 @@ def tpu_pass(g, pos):
         pre = preprocess.preprocess_block(g_dev, meta[0],
                                           jnp.float32(MAF_THR), n_samples=n)
         dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(STD_THR))
-        out = ld_xla.ld_scores_xla(
+        out = ld_xla.ld_scores_xla_sym(
             pre["add"], pre["res"], meta[1], meta[2], pre["usable"], dom_ok,
             pre["add_sd_zero"], meta[3], meta[4], jnp.float32(RSQ_THR),
-            block_size=BLOCK, band_k=band_k, n_samples=n, precision="highest")
+            block_size=BLOCK, band_k=band_k, right_k=right_k, n_samples=n,
+            precision="highest")
         return np.asarray(out[0])  # fetch forces completion
 
     t0 = time.time()

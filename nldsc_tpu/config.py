@@ -38,6 +38,8 @@ class LDConfig:
     use_pallas: bool = False       # fused Pallas kernel vs banded-slab XLA path
     interpret: bool = False        # Pallas interpreter mode (debug)
     matmul_precision: str = "highest"  # 'highest' (f32) | 'high' (bf16_3x)
+    symmetric: bool = True         # halve additive matmuls via r² symmetry
+                                   # (dense in-core engine only)
 
     def __post_init__(self):
         wind = float(self.ld_wind)

@@ -125,3 +125,114 @@ def ld_scores_xla(add, res, lo, hi, usable, dom_ok, add_sd_zero, blk_lo,
     l2_acc, l2d_acc, ws, wsd, wse, poison = (a.reshape(m_pad) for a in accs)
     return finalize_outputs(l2_acc, l2d_acc, ws, wsd, wse, poison,
                             usable, add_sd_zero)
+
+
+@partial(jax.jit, static_argnames=("block_size", "band_k", "right_k",
+                                   "n_samples", "precision"))
+def ld_scores_xla_sym(add, res, lo, hi, usable, dom_ok, add_sd_zero, blk_lo,
+                      blk_hi, rsq_thr, *, block_size: int, band_k: int,
+                      right_k: int, n_samples: int,
+                      precision: str = "highest"):
+    """Symmetry-exploiting variant of :func:`ld_scores_xla` (dense only).
+
+    The additive correlation is symmetric, so each pivot block multiplies
+    only against its RIGHT half-band; the (B × right_rows) tile credits
+    both its row sums (pairs (i, j≥i·B) for the pivot rows) and its column
+    sums (the mirrored pairs, excluding the intra-block tile which the row
+    sums already cover in both orders).  The window-interval test is
+    symmetric (|Δpos| ≤ w), so one mask serves both directions.  Additive
+    matmul flops halve; the (asymmetric) dominance matmul is unchanged —
+    a 4/3 throughput gain overall.  ``ws`` and the poison counter are
+    likewise accumulated bidirectionally; ``wsd``/``wse`` come from the
+    dominance pass as before.
+    """
+    m_pad = add.shape[0]
+    n_blocks = m_pad // block_size
+    B = block_size
+    band_rows = min(band_k * B, m_pad)
+    # right half-band: from the pivot block itself to the rightmost neighbor
+    # (right_k = host-computed max(blk_hi[b] - b) + 1)
+    right_rows = min(right_k * B, m_pad)
+
+    n = jnp.float32(n_samples)
+    adj_c = (n - 1.0) / (n - 2.0)
+
+    def step(carry, b):
+        l2_full, ws_full, poi_full = carry
+        r0 = b * B
+        ya = lax.dynamic_slice_in_dim(add, r0, B, axis=0)
+        gi = r0 + jnp.arange(B, dtype=jnp.int32)
+        lo_i = lax.dynamic_slice_in_dim(lo, r0, B)
+        hi_i = lax.dynamic_slice_in_dim(hi, r0, B)
+        usable_i = lax.dynamic_slice_in_dim(usable, r0, B)
+        poison_i = lax.dynamic_slice_in_dim(add_sd_zero, r0, B)
+
+        # --- additive: right half-band, bidirectional credit ---
+        j0r = jnp.minimum(r0, m_pad - right_rows)
+        za = lax.dynamic_slice_in_dim(add, j0r, right_rows, axis=0)
+        gj = j0r + jnp.arange(right_rows, dtype=jnp.int32)
+        usable_j = lax.dynamic_slice_in_dim(usable, j0r, right_rows)
+        poison_j = lax.dynamic_slice_in_dim(add_sd_zero, j0r, right_rows)
+
+        c_add = jnp.dot(ya, za.T, precision=precision,
+                        preferred_element_type=jnp.float32)
+        r_add = c_add / n
+        adj_add = 1.0 - (1.0 - r_add * r_add) * adj_c
+
+        in_win = (gj[None, :] >= lo_i[:, None]) & (gj[None, :] <= hi_i[:, None])
+        upair = in_win & usable_j[None, :] & usable_i[:, None]
+        fwd = gj[None, :] >= r0            # guard vs clipped j0r re-visits
+        row_base = upair & fwd & (gj[None, :] != gi[:, None])
+        col_base = upair & (gj[None, :] >= r0 + B)  # intra handled by rows
+
+        rowf = row_base.astype(jnp.float32)
+        colf = col_base.astype(jnp.float32)
+        l2_row = jnp.sum(adj_add * rowf, axis=1)
+        l2_col = jnp.sum(adj_add * colf, axis=0)
+        ws_row = jnp.sum(row_base, axis=1).astype(jnp.int32)
+        ws_col = jnp.sum(col_base, axis=0).astype(jnp.int32)
+        # poison counts include self (pair mask without self-exclusion)
+        poi_row = jnp.sum((upair & fwd & poison_j[None, :]), axis=1).astype(jnp.int32)
+        poi_col = jnp.sum((upair & poison_i[:, None] &
+                           (gj[None, :] >= r0 + B)), axis=0).astype(jnp.int32)
+
+        def credit(full, at, vals):
+            cur = lax.dynamic_slice_in_dim(full, at, vals.shape[0])
+            return lax.dynamic_update_slice_in_dim(full, cur + vals, at, 0)
+
+        l2_full = credit(credit(l2_full, r0, l2_row), j0r, l2_col)
+        ws_full = credit(credit(ws_full, r0, ws_row), j0r, ws_col)
+        poi_full = credit(credit(poi_full, r0, poi_row), j0r, poi_col)
+
+        # --- dominance: full band (asymmetric), unchanged semantics ---
+        j0 = jnp.clip(blk_lo[b] * B, 0, m_pad - band_rows)
+        zr = lax.dynamic_slice_in_dim(res, j0, band_rows, axis=0)
+        gjd = j0 + jnp.arange(band_rows, dtype=jnp.int32)
+        usable_jd = lax.dynamic_slice_in_dim(usable, j0, band_rows)
+        dom_ok_j = lax.dynamic_slice_in_dim(dom_ok, j0, band_rows)
+        valid_k = gjd <= blk_hi[b] * B + (B - 1)
+
+        c_dom = jnp.dot(ya, zr.T, precision=precision,
+                        preferred_element_type=jnp.float32)
+        r_dom = c_dom / n
+        adj_dom = 1.0 - (1.0 - r_dom * r_dom) * adj_c
+        in_win_d = ((gjd[None, :] >= lo_i[:, None]) &
+                    (gjd[None, :] <= hi_i[:, None]) & valid_k[None, :])
+        dmask = (in_win_d & usable_jd[None, :] & usable_i[:, None] &
+                 (gjd[None, :] != gi[:, None]) & dom_ok_j[None, :])
+        dmaskf = dmask.astype(jnp.float32)
+        l2d_b = jnp.sum(adj_dom * dmaskf, axis=1)
+        wsd_b = jnp.sum(dmask, axis=1).astype(jnp.int32)
+        wse_b = jnp.sum((adj_dom > rsq_thr) & dmask, axis=1).astype(jnp.int32)
+
+        return (l2_full, ws_full, poi_full), (l2d_b, wsd_b, wse_b)
+
+    zero_f = jnp.zeros(m_pad, jnp.float32)
+    zero_i = jnp.zeros(m_pad, jnp.int32)
+    (l2_acc, ws, poison), (l2d_b, wsd_b, wse_b) = lax.scan(
+        step, (zero_f, zero_i, zero_i), jnp.arange(n_blocks, dtype=jnp.int32))
+    l2d_acc = l2d_b.reshape(m_pad)
+    wsd = wsd_b.reshape(m_pad)
+    wse = wse_b.reshape(m_pad)
+    return finalize_outputs(l2_acc, l2d_acc, ws, wsd, wse, poison,
+                            usable, add_sd_zero)

@@ -81,6 +81,11 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
             *args, rsq_thr=float(config.rsq_thr), block_size=B, band_k=band_k,
             n_samples=n, sample_chunk=config.sample_chunk,
             interpret=config.interpret, precision=config.matmul_precision)
+    elif config.symmetric:
+        right_k = windows.right_band_blocks(blk_hi, B)
+        l2, l2d, ws, wsd, wse = ld_xla.ld_scores_xla_sym(
+            *args, jnp.float32(config.rsq_thr), block_size=B, band_k=band_k,
+            right_k=right_k, n_samples=n, precision=config.matmul_precision)
     else:
         l2, l2d, ws, wsd, wse = ld_xla.ld_scores_xla(
             *args, jnp.float32(config.rsq_thr), block_size=B, band_k=band_k,

@@ -84,6 +84,15 @@ def band_blocks(lo: np.ndarray, hi: np.ndarray, block_size: int,
     return blk_lo, blk_hi, k
 
 
+def right_band_blocks(blk_hi: np.ndarray, block_size: int) -> int:
+    """Static right-half-band depth: max blocks from a pivot block to its
+    rightmost neighbor block, inclusive (symmetric engine)."""
+    nb = len(blk_hi)
+    if nb == 0:
+        return 1
+    return max(int((blk_hi - np.arange(nb, dtype=np.int64)).max()) + 1, 1)
+
+
 def max_halo_rows(lo: np.ndarray, hi: np.ndarray) -> int:
     """Maximum one-sided window span in rows (sharding halo width)."""
     if len(lo) == 0:

@@ -35,10 +35,23 @@ def make_config(**kw):
     return LDConfig(**kw)
 
 
-def test_parity_basic(rng):
+@pytest.mark.parametrize("symmetric", [True, False])
+def test_parity_basic(rng, symmetric):
     g = random_genotypes(rng, 200, 300, missing_rate=0.03)
     pos = make_positions(200, spacing=777, jitter_rng=rng)
-    cfg = make_config()
+    cfg = make_config(symmetric=symmetric)
+    res = compute_ld_scores(g, pos, cfg)
+    ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr, cfg.rsq_thr)
+    assert_ld_parity(res, ora)
+
+
+@pytest.mark.parametrize("symmetric", [True, False])
+def test_parity_asymmetric_windows(rng, symmetric):
+    # irregular spacing -> asymmetric per-SNP windows stress right_k
+    g = random_genotypes(rng, 180, 220, missing_rate=0.02)
+    gaps = rng.choice([10, 100, 3000, 8000], size=180)
+    pos = np.cumsum(gaps).astype(np.float64)
+    cfg = make_config(ld_wind=6000, block_size=16, symmetric=symmetric)
     res = compute_ld_scores(g, pos, cfg)
     ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr, cfg.rsq_thr)
     assert_ld_parity(res, ora)
