@@ -87,7 +87,16 @@ def estimate_h2_frames(sumstats: pd.DataFrame, ld: pd.DataFrame, M: int,
 
     ref_ld_add = _cols(overall["L2"], n_new)
     ref_ld_dom = _cols(overall["L2D"], n_new)
-    with jax.enable_x64(True):
+    # float64 linear algebra is unsupported on TPU; the regression is
+    # O(M·p²) host-scale work, so pin it to the CPU backend when the
+    # default device is an accelerator
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    import contextlib
+    dev_ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with jax.enable_x64(True), dev_ctx:
         return hsq_estimate(
             chisq=chisq,
             x_add=ref_ld_add, w_add=ref_ld_add,

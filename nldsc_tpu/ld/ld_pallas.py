@@ -185,6 +185,7 @@ def ld_scores_pallas(add, res, lo, hi, usable, dom_ok, add_sd_zero,
         out_shape=jax.ShapeDtypeStruct((nb, 8, B), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=3 * m_pad * n_pad * 4,
