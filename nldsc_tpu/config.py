@@ -40,6 +40,10 @@ class LDConfig:
     matmul_precision: str = "highest"  # 'highest' (f32) | 'high' (bf16_3x)
     symmetric: bool = True         # halve additive matmuls via r² symmetry
                                    # (dense in-core engine only)
+    use_int8: bool | None = None   # integer-exact engine (bf16/int8 MXU
+                                   # matmuls + analytic corrections);
+                                   # None = auto (on when no missing data)
+    int8_dot_dtype: str = "bf16"   # 'bf16' (exact, single-pass rate) | 'int8'
 
     def __post_init__(self):
         wind = float(self.ld_wind)

@@ -1,0 +1,214 @@
+"""Integer-exact banded LD engine (int8 MXU path).
+
+Genotypes are small integers, so every pairwise dot product the LD pass
+needs is expressible through *integer* matmuls plus rank-1 analytic
+corrections — no f32 rounding inside the contraction at all:
+
+With ``g`` = additive codes (0 at missing/padding), ``m`` = missing
+indicator, ``h`` = dominance codes (0 at missing), and per-SNP scalars
+``am`` (additive mean), ``dm`` (dominance mean), ``slope`` (dominance OLS
+slope), ``sd`` (additive pop-sd), ``rstd`` (residual pop-sd):
+
+  a_imp = g + am·m                    (mean imputation, incl. padding)
+  dot(a_imp_i, a_imp_j) = Sgg + am_j·Sgm + am_i·Smg + am_i·am_j·Smm
+  centered:  ac_ij = that − n_pad·am_i·am_j
+  r_add = ac_ij / (n · sd_i · sd_j)
+
+  d_imp = h + dm·m
+  dot(a_imp_i, d_imp_j) = Sgh + dm_j·Sgm + am_i·Smh + am_i·dm_j·Smm
+  centered:  dc_ij = that − n_pad·am_i·dm_j
+  dot(a_c_i, r_c_j) = dc_ij − slope_j · ac_ij
+  r_dom = that / (n · sd_i · rstd_j)
+
+where ``S**`` are int8×int8→int32 matmuls (Sgg, Sgm, Smg, Smm, Sgh, Smh).
+Values are exact: |dot| ≤ 4·n_pad < 2^31.  When the dataset has no missing
+genotypes (and no sample padding), the four ``m`` terms vanish and only
+Sgg/Sgh remain — 2 integer matmuls instead of 2 f32 matmuls.
+
+Accuracy: the only roundings are the per-SNP scalar corrections (f32),
+giving ~1e-7 relative error — *tighter* than the reference's fp32 sdot.
+Speed: int8 MXU throughput is several-fold the f32 multi-pass rate.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .ld_xla import finalize_outputs
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def preprocess_int8(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array,
+                    n_samples: int) -> dict[str, jax.Array]:
+    """Integer-path preprocessing: keep int8 arrays + per-SNP f32 scalars.
+
+    Same statistics contract as :func:`preprocess.preprocess_block` but
+    returns ``g``/``m``/``h`` int8 matrices instead of standardized f32
+    rows.  Sample padding must be negative (treated as missing).
+    """
+    g = genotypes
+    n = jnp.float32(n_samples)
+
+    valid = g >= 0
+    gq = jnp.where(valid, g, 0).astype(jnp.int8)
+    mq = (~valid).astype(jnp.int8)
+    hq = jnp.where(valid, 2 * jnp.minimum(g, 1), 0).astype(jnp.int8)
+
+    gf = gq.astype(jnp.float32)
+    n_valid = jnp.maximum(jnp.sum(valid, axis=1), 1).astype(jnp.float32)
+    add_sum = jnp.sum(gf, axis=1)
+    dom_sum = jnp.sum(hq.astype(jnp.float32), axis=1)
+    am = add_sum / n_valid
+    dm = dom_sum / n_valid
+
+    f2 = am * 0.5
+    maf = jnp.minimum(f2, 1.0 - f2)
+    usable = pos_ok & (maf > maf_thr)
+
+    # population moments of the imputed vectors via the same decomposition
+    # (exact integer second moments + rank-1 corrections)
+    sgg = jnp.sum(gf * gf, axis=1)                      # dot(g, g), exact
+    sgh = jnp.sum(gf * hq.astype(jnp.float32), axis=1)  # dot(g, h), exact
+    n_miss = n - n_valid + jnp.float32(g.shape[1] - n_samples)  # incl padding
+    n_pad = jnp.float32(g.shape[1])
+    # dot(a_imp, a_imp) = sgg + am^2 * n_missing_total
+    var_a_sum = sgg + am * am * n_miss - n_pad * am * am
+    cov_ad_sum = sgh + am * dm * n_miss - n_pad * am * dm
+
+    add_sd = jnp.sqrt(jnp.maximum(var_a_sum, 0.0) / n)
+    add_sd_zero = usable & (var_a_sum <= 0.0)
+    safe_var = jnp.where(var_a_sum > 0, var_a_sum, 1.0)
+    slope = cov_ad_sum / safe_var
+
+    # residual variance: var(d) - slope * cov(a, d)  (1-D OLS identity)
+    shh = jnp.sum(jnp.square(hq.astype(jnp.float32)), axis=1)
+    var_d_sum = shh + dm * dm * n_miss - n_pad * dm * dm
+    rvar_sum = var_d_sum - slope * cov_ad_sum
+    rstd = jnp.sqrt(jnp.maximum(rvar_sum, 0.0) / n)
+
+    inv_sd = jnp.where((add_sd > 0) & usable, 1.0 / jnp.where(add_sd > 0, add_sd, 1.0), 0.0)
+    inv_rstd = jnp.where((rstd > 0) & usable & ~add_sd_zero,
+                         1.0 / jnp.where(rstd > 0, rstd, 1.0), 0.0)
+
+    nan = jnp.float32(jnp.nan)
+    return {
+        "g": gq, "m": mq, "h": hq,
+        "am": am, "dm": dm, "slope": slope,
+        "inv_sd": inv_sd, "inv_rstd": inv_rstd,
+        "maf": jnp.where(pos_ok, maf, nan),
+        "rstd": jnp.where(usable & ~add_sd_zero, rstd, nan),
+        "usable": usable, "add_sd_zero": add_sd_zero,
+        "has_missing": jnp.any(mq > 0),
+    }
+
+
+@partial(jax.jit, static_argnames=("block_size", "band_k", "n_samples",
+                                   "has_missing", "dot_dtype"))
+def ld_scores_int8(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi, usable,
+                   dom_ok, add_sd_zero, blk_lo, blk_hi, rsq_thr, *,
+                   block_size: int, band_k: int, n_samples: int,
+                   has_missing: bool, dot_dtype: str = "bf16"):
+    """Banded LD pass on integer matmuls (same contract as ld_scores_xla).
+
+    ``dot_dtype``: 'int8' (int8×int8→int32 MXU) or 'bf16'
+    (bf16×bf16→f32 at single-pass rate).  BOTH are exact here: genotype
+    codes {0,1,2} are exactly representable in bf16 and every partial sum
+    is an integer below 2^24, so f32 accumulation never rounds (valid for
+    N_pad ≤ 4M samples).
+    """
+    m_pad, n_pad_cols = g.shape
+    assert n_pad_cols <= (1 << 22), "bf16-exact path requires N_pad <= 4M"
+    n_blocks = m_pad // block_size
+    B = block_size
+    band_rows = min(band_k * B, m_pad)
+    n = jnp.float32(n_samples)
+    n_padf = jnp.float32(n_pad_cols)
+    adj_c = (n - 1.0) / (n - 2.0)
+
+    dims = (((1,), (1,)), ((), ()))
+    if dot_dtype == "int8":
+        def idot(x, y):
+            return lax.dot_general(
+                x, y, dims,
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+    else:
+        def idot(x, y):
+            return lax.dot_general(
+                x.astype(jnp.bfloat16), y.astype(jnp.bfloat16), dims,
+                preferred_element_type=jnp.float32)
+
+    def pivot_block(b):
+        r0 = b * B
+        gi_rows = lax.dynamic_slice_in_dim(g, r0, B, axis=0)
+        mi_rows = lax.dynamic_slice_in_dim(m, r0, B, axis=0)
+        gi = r0 + jnp.arange(B, dtype=jnp.int32)
+        lo_i = lax.dynamic_slice_in_dim(lo, r0, B)
+        hi_i = lax.dynamic_slice_in_dim(hi, r0, B)
+        usable_i = lax.dynamic_slice_in_dim(usable, r0, B)
+        am_i = lax.dynamic_slice_in_dim(am, r0, B)[:, None]
+        inv_sd_i = lax.dynamic_slice_in_dim(inv_sd, r0, B)[:, None]
+
+        j0 = jnp.clip(blk_lo[b] * B, 0, m_pad - band_rows)
+        gj_rows = lax.dynamic_slice_in_dim(g, j0, band_rows, axis=0)
+        mj_rows = lax.dynamic_slice_in_dim(m, j0, band_rows, axis=0)
+        hj_rows = lax.dynamic_slice_in_dim(h, j0, band_rows, axis=0)
+        gj = j0 + jnp.arange(band_rows, dtype=jnp.int32)
+        usable_j = lax.dynamic_slice_in_dim(usable, j0, band_rows)
+        dom_ok_j = lax.dynamic_slice_in_dim(dom_ok, j0, band_rows)
+        poison_j = lax.dynamic_slice_in_dim(add_sd_zero, j0, band_rows)
+        am_j = lax.dynamic_slice_in_dim(am, j0, band_rows)[None, :]
+        dm_j = lax.dynamic_slice_in_dim(dm, j0, band_rows)[None, :]
+        slope_j = lax.dynamic_slice_in_dim(slope, j0, band_rows)[None, :]
+        inv_sd_j = lax.dynamic_slice_in_dim(inv_sd, j0, band_rows)[None, :]
+        inv_rstd_j = lax.dynamic_slice_in_dim(inv_rstd, j0, band_rows)[None, :]
+
+        sgg = idot(gi_rows, gj_rows)
+        sgh = idot(gi_rows, hj_rows)
+        if has_missing:
+            sgm = idot(gi_rows, mj_rows)
+            smg = idot(mi_rows, gj_rows)
+            smm = idot(mi_rows, mj_rows)
+            smh = idot(mi_rows, hj_rows)
+            a_dot = sgg + am_j * sgm + am_i * smg + am_i * am_j * smm
+            d_dot = sgh + dm_j * sgm + am_i * smh + am_i * dm_j * smm
+        else:
+            # no real missing: m is nonzero only on sample-padding columns,
+            # where g/h are zero — so Sgm = Smg = Smh = 0 and Smm is the
+            # constant pad width; the corrections collapse analytically
+            pad_miss = jnp.float32(n_pad_cols - n_samples)
+            a_dot = sgg + am_i * am_j * pad_miss
+            d_dot = sgh + am_i * dm_j * pad_miss
+
+        ac = a_dot - n_padf * am_i * am_j
+        dc = d_dot - n_padf * am_i * dm_j
+        r_add = ac * inv_sd_i * inv_sd_j / n
+        r_dom = (dc - slope_j * ac) * inv_sd_i * inv_rstd_j / n
+
+        adj_add = 1.0 - (1.0 - r_add * r_add) * adj_c
+        adj_dom = 1.0 - (1.0 - r_dom * r_dom) * adj_c
+
+        valid_k = gj <= blk_hi[b] * B + (B - 1)
+        in_win = ((gj[None, :] >= lo_i[:, None]) &
+                  (gj[None, :] <= hi_i[:, None]) & valid_k[None, :])
+        pair = in_win & usable_j[None, :] & usable_i[:, None]
+        base = pair & (gj[None, :] != gi[:, None])
+        dmask = base & dom_ok_j[None, :]
+        basef = base.astype(jnp.float32)
+        dmaskf = dmask.astype(jnp.float32)
+
+        l2_p = jnp.sum(adj_add * basef, axis=1)
+        l2d_p = jnp.sum(adj_dom * dmaskf, axis=1)
+        ws_p = jnp.sum(base, axis=1).astype(jnp.int32)
+        wsd_p = jnp.sum(dmask, axis=1).astype(jnp.int32)
+        wse_p = jnp.sum((adj_dom > rsq_thr) & dmask, axis=1).astype(jnp.int32)
+        poi_p = jnp.sum(pair & poison_j[None, :], axis=1).astype(jnp.int32)
+        return l2_p, l2d_p, ws_p, wsd_p, wse_p, poi_p
+
+    accs = lax.map(pivot_block, jnp.arange(n_blocks, dtype=jnp.int32))
+    l2_acc, l2d_acc, ws, wsd, wse, poison = (a.reshape(m_pad) for a in accs)
+    return finalize_outputs(l2_acc, l2d_acc, ws, wsd, wse, poison,
+                            usable, add_sd_zero)

@@ -66,6 +66,40 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
     hi_pad = _pad_to(hi, m_pad, np.int32(-1))
 
     g_dev = jnp.asarray(g, device=device)
+
+    # padding-only missingness collapses analytically in the int8 engine,
+    # so only REAL missing genotypes force the 6-matmul path
+    has_missing = bool((genotypes < 0).any())
+    use_int8 = config.use_int8
+    if use_int8 is None:
+        # integer engine is ~2x faster when the 4 missing-interaction
+        # matmuls vanish; with missing data the symmetric f32 engine wins
+        use_int8 = not has_missing
+
+    if use_int8:
+        from . import ld_int8  # noqa: PLC0415
+        pre = ld_int8.preprocess_int8(
+            g_dev, jnp.asarray(pos_ok_pad), jnp.float32(config.maf_thr),
+            n_samples=n)
+        dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
+        l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8(
+            pre["g"], pre["m"], pre["h"], pre["am"], pre["dm"], pre["slope"],
+            pre["inv_sd"], pre["inv_rstd"],
+            jnp.asarray(lo_pad), jnp.asarray(hi_pad), pre["usable"], dom_ok,
+            pre["add_sd_zero"], jnp.asarray(blk_lo), jnp.asarray(blk_hi),
+            jnp.float32(config.rsq_thr), block_size=B, band_k=band_k,
+            n_samples=n, has_missing=has_missing,
+            dot_dtype=config.int8_dot_dtype)
+        return {
+            "l2": np.asarray(l2, dtype=np.float64)[:m],
+            "l2d": np.asarray(l2d, dtype=np.float64)[:m],
+            "maf": np.asarray(pre["maf"], dtype=np.float64)[:m],
+            "residuals_std": np.asarray(pre["rstd"], dtype=np.float64)[:m],
+            "l2_ws": np.asarray(ws, dtype=np.int64)[:m],
+            "l2d_ws": np.asarray(wsd, dtype=np.int64)[:m],
+            "l2d_wse": np.asarray(wse, dtype=np.int64)[:m],
+        }
+
     pre = preprocess.preprocess_block(
         g_dev, jnp.asarray(pos_ok_pad), jnp.float32(config.maf_thr),
         n_samples=n)
