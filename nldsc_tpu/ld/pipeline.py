@@ -82,14 +82,22 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
             g_dev, jnp.asarray(pos_ok_pad), jnp.float32(config.maf_thr),
             n_samples=n)
         dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
-        l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8(
+        int8_args = (
             pre["g"], pre["m"], pre["h"], pre["am"], pre["dm"], pre["slope"],
             pre["inv_sd"], pre["inv_rstd"],
             jnp.asarray(lo_pad), jnp.asarray(hi_pad), pre["usable"], dom_ok,
             pre["add_sd_zero"], jnp.asarray(blk_lo), jnp.asarray(blk_hi),
-            jnp.float32(config.rsq_thr), block_size=B, band_k=band_k,
-            n_samples=n, has_missing=has_missing,
-            dot_dtype=config.int8_dot_dtype)
+            jnp.float32(config.rsq_thr))
+        if config.symmetric:
+            right_k = windows.right_band_blocks(blk_hi, B)
+            l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8_sym(
+                *int8_args, block_size=B, band_k=band_k, right_k=right_k,
+                n_samples=n, has_missing=has_missing,
+                dot_dtype=config.int8_dot_dtype)
+        else:
+            l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8(
+                *int8_args, block_size=B, band_k=band_k, n_samples=n,
+                has_missing=has_missing, dot_dtype=config.int8_dot_dtype)
         return {
             "l2": np.asarray(l2, dtype=np.float64)[:m],
             "l2d": np.asarray(l2d, dtype=np.float64)[:m],

@@ -39,6 +39,69 @@ from . import windows
 
 
 @partial(jax.jit, static_argnames=("block_size", "band_k", "n_samples",
+                                   "n_piv_blocks", "has_missing",
+                                   "dot_dtype"))
+def _banded_chunk_int8(pre, dom_ok_b, lo_piv, hi_piv, blk_lo_piv, band_g0,
+                       piv_off, m_pad, rsq_thr, *, block_size: int,
+                       band_k: int, n_samples: int, n_piv_blocks: int,
+                       has_missing: bool, dot_dtype: str):
+    """Integer-engine variant of :func:`_banded_chunk` (same geometry)."""
+    from .ld_int8 import integer_corr_tiles, make_idot  # noqa: PLC0415
+
+    B = block_size
+    band_rows_total = pre["g"].shape[0]
+    n_pad_cols = pre["g"].shape[1]
+    slab_rows = min(band_k * B, band_rows_total)
+    n = jnp.float32(n_samples)
+    n_padf = jnp.float32(n_pad_cols)
+    pad_miss = jnp.float32(n_pad_cols - n_samples)
+    adj_c = (n - 1.0) / (n - 2.0)
+    idot = make_idot(dot_dtype)
+    usable_b = pre["usable"]
+    poison_b = pre["add_sd_zero"]
+
+    def pivot_block(b):
+        r0 = piv_off + b * B
+        gi_rows = lax.dynamic_slice_in_dim(pre["g"], r0, B, axis=0)
+        mi_rows = lax.dynamic_slice_in_dim(pre["m"], r0, B, axis=0)
+        gi = band_g0 + r0 + jnp.arange(B, dtype=jnp.int32)
+        lo_i = lax.dynamic_slice_in_dim(lo_piv, b * B, B)
+        hi_i = lax.dynamic_slice_in_dim(hi_piv, b * B, B)
+        usable_i = lax.dynamic_slice_in_dim(usable_b, r0, B)
+        am_i = lax.dynamic_slice_in_dim(pre["am"], r0, B)[:, None]
+        inv_sd_i = lax.dynamic_slice_in_dim(pre["inv_sd"], r0, B)[:, None]
+
+        j0 = jnp.clip(blk_lo_piv[b] * B - band_g0, 0,
+                      band_rows_total - slab_rows)
+        gj_rows = lax.dynamic_slice_in_dim(pre["g"], j0, slab_rows, axis=0)
+        mj_rows = lax.dynamic_slice_in_dim(pre["m"], j0, slab_rows, axis=0)
+        hj_rows = lax.dynamic_slice_in_dim(pre["h"], j0, slab_rows, axis=0)
+        gj = band_g0 + j0 + jnp.arange(slab_rows, dtype=jnp.int32)
+        in_range = gj < m_pad
+        usable_j = lax.dynamic_slice_in_dim(usable_b, j0, slab_rows) & in_range
+        dom_ok_j = lax.dynamic_slice_in_dim(dom_ok_b, j0, slab_rows) & in_range
+        poison_j = lax.dynamic_slice_in_dim(poison_b, j0, slab_rows) & in_range
+        am_j = lax.dynamic_slice_in_dim(pre["am"], j0, slab_rows)[None, :]
+        dm_j = lax.dynamic_slice_in_dim(pre["dm"], j0, slab_rows)[None, :]
+        slope_j = lax.dynamic_slice_in_dim(pre["slope"], j0, slab_rows)[None, :]
+        inv_sd_j = lax.dynamic_slice_in_dim(pre["inv_sd"], j0, slab_rows)[None, :]
+        inv_rstd_j = lax.dynamic_slice_in_dim(pre["inv_rstd"], j0,
+                                              slab_rows)[None, :]
+
+        r_add, r_dom = integer_corr_tiles(
+            idot, gi_rows, mi_rows, gj_rows, mj_rows, hj_rows,
+            am_i, am_j, dm_j, slope_j, inv_sd_i, inv_sd_j, inv_rstd_j,
+            n, n_padf, pad_miss, has_missing)
+        c_add = r_add * n  # _tile_epilogue divides by n itself
+        c_dom = r_dom * n
+        return _tile_epilogue(c_add, c_dom, gi, gj, lo_i, hi_i, usable_i,
+                              usable_j, dom_ok_j, poison_j, n_samples,
+                              rsq_thr)
+
+    return lax.map(pivot_block, jnp.arange(n_piv_blocks, dtype=jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("block_size", "band_k", "n_samples",
                                    "n_piv_blocks", "precision"))
 def _banded_chunk(add_b, res_b, usable_b, dom_ok_b, poison_b,
                   lo_piv, hi_piv, blk_lo_piv, band_g0, piv_off, m_pad,
@@ -144,26 +207,44 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
 
         g_band = np.full((band_rows, n_pad), -1, dtype=np.int8)
         r0, r1 = max(band_lo, 0), min(band_hi, m)
+        chunk_has_missing = False
         if r1 > r0:
-            g_band[r0 - band_lo:r1 - band_lo, :n] = bed.read_block(r0, r1 - r0)
+            block = bed.read_block(r0, r1 - r0)
+            chunk_has_missing = bool((block < 0).any())
+            g_band[r0 - band_lo:r1 - band_lo, :n] = block
         pos_ok_band = np.zeros(band_rows, dtype=bool)
         g0c, g1c = max(band_lo, 0), min(band_hi, m_ext)
         if g1c > g0c:
             pos_ok_band[g0c - band_lo:g1c - band_lo] = pos_ok_pad[g0c:g1c]
 
-        pre = preprocess_block(
-            jnp.asarray(g_band), jnp.asarray(pos_ok_band),
-            jnp.float32(config.maf_thr), n_samples=n)
-        dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
-
-        accs = _banded_chunk(
-            pre["add"], pre["res"], pre["usable"], dom_ok, pre["add_sd_zero"],
+        chunk_args = (
             jnp.asarray(lo_pad[p0:p1]), jnp.asarray(hi_pad[p0:p1]),
             jnp.asarray(blk_lo_pad[p0 // B:p1 // B]),
             jnp.int32(band_lo), jnp.int32(halo), jnp.int32(m_pad),
-            jnp.float32(config.rsq_thr),
-            block_size=B, band_k=band_k, n_samples=n,
-            n_piv_blocks=n_piv_blocks, precision=config.matmul_precision)
+            jnp.float32(config.rsq_thr))
+        use_int8 = config.use_int8 if config.use_int8 is not None else True
+        if use_int8:
+            from . import ld_int8  # noqa: PLC0415
+
+            pre = ld_int8.preprocess_int8(
+                jnp.asarray(g_band), jnp.asarray(pos_ok_band),
+                jnp.float32(config.maf_thr), n_samples=n)
+            dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
+            accs = _banded_chunk_int8(
+                pre, dom_ok, *chunk_args,
+                block_size=B, band_k=band_k, n_samples=n,
+                n_piv_blocks=n_piv_blocks, has_missing=chunk_has_missing,
+                dot_dtype=config.int8_dot_dtype)
+        else:
+            pre = preprocess_block(
+                jnp.asarray(g_band), jnp.asarray(pos_ok_band),
+                jnp.float32(config.maf_thr), n_samples=n)
+            dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
+            accs = _banded_chunk(
+                pre["add"], pre["res"], pre["usable"], dom_ok,
+                pre["add_sd_zero"], *chunk_args,
+                block_size=B, band_k=band_k, n_samples=n,
+                n_piv_blocks=n_piv_blocks, precision=config.matmul_precision)
 
         piv_sl = slice(halo, halo + chunk_rows)
         usable_p = np.asarray(pre["usable"])[piv_sl]

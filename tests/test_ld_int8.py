@@ -22,14 +22,29 @@ def _cfg(**kw):
     return LDConfig(**kw)
 
 
-def test_int8_parity_basic(rng):
+@pytest.mark.parametrize("symmetric", [True, False])
+def test_int8_parity_basic(rng, symmetric):
     g = random_genotypes(rng, 200, 300, missing_rate=0.03)
     pos = make_positions(200, spacing=777, jitter_rng=rng)
-    cfg = _cfg()
+    cfg = _cfg(symmetric=symmetric)
     res = compute_ld_scores(g, pos, cfg)
     ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr, cfg.rsq_thr)
     # integer-exact contraction: tighter tolerance than the f32 engines
     assert_ld_parity(res, ora, rtol=3e-6, atol=3e-6)
+
+
+@pytest.mark.parametrize("symmetric", [True, False])
+def test_int8_adversarial_sym(rng, symmetric):
+    adv = adversarial_genotypes(rng, 128)
+    g = np.concatenate([random_genotypes(rng, 45, 128, missing_rate=0.05),
+                        adv,
+                        random_genotypes(rng, 45, 128, missing_rate=0.0)])
+    pos = make_positions(len(g), spacing=1000, skip_idx=(7,))
+    cfg = _cfg(ld_wind=15000, maf_thr=1e-5, block_size=16,
+               symmetric=symmetric)
+    res = compute_ld_scores(g, pos, cfg)
+    ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr, cfg.rsq_thr)
+    assert_ld_parity(res, ora)
 
 
 def test_int8_no_missing_fast_path(rng):

@@ -1,6 +1,7 @@
 """Streaming (out-of-core) engine vs dense path + checkpoint/resume."""
 
 import numpy as np
+import pytest
 
 from nldsc_tpu.config import LDConfig
 from nldsc_tpu.io.plink import BedReader, write_plink
@@ -26,15 +27,39 @@ def _assert_same(a, b):
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
-def test_streaming_matches_dense(tmp_path, rng):
+@pytest.mark.parametrize("use_int8", [True, False])
+def test_streaming_matches_dense(tmp_path, rng, use_int8):
     g, pos, bed = _setup(tmp_path, rng)
     cfg = LDConfig(ld_wind=8000, wind_metric="bp", maf_thr=0.01,
-                   std_thr=1e-4, rsq_thr=1e-3, block_size=16)
+                   std_thr=1e-4, rsq_thr=1e-3, block_size=16,
+                   use_int8=use_int8, symmetric=False)
     dense = compute_ld_scores(g, pos.astype(np.float64), cfg)
     for chunk in (64, 96, 512):
         streamed = compute_ld_scores_streaming(
             bed, pos.astype(np.float64), cfg, chunk_rows=chunk)
         _assert_same(streamed, dense)
+
+
+def test_streaming_int8_no_missing(tmp_path, rng):
+    g = random_genotypes(rng, 200, 120, missing_rate=0.0)
+    pos = make_positions(200, spacing=900)
+    from nldsc_tpu.io.plink import write_plink
+
+    prefix = write_plink(tmp_path / "nomiss", g, bp=pos.astype(np.int64))
+    bed = BedReader(prefix + ".bed", 200, 120)
+    cfg = LDConfig(ld_wind=7000, wind_metric="bp", maf_thr=0.01,
+                   std_thr=1e-4, rsq_thr=1e-3, block_size=16)
+    from nldsc_tpu.ld.oracle import oracle_ld
+
+    streamed = compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg,
+                                           chunk_rows=64)
+    ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr,
+                    cfg.rsq_thr)
+    for k in ("l2", "l2d"):
+        np.testing.assert_allclose(streamed[k], ora[k], rtol=3e-6, atol=3e-6,
+                                   equal_nan=True, err_msg=k)
+    for k in ("l2_ws", "l2d_ws", "l2d_wse"):
+        np.testing.assert_array_equal(streamed[k], ora[k], err_msg=k)
 
 
 def test_streaming_resume(tmp_path, rng):
