@@ -67,3 +67,15 @@ def test_window_wider_than_shard_rejected(rng):
     cfg = _cfg(ld_wind=1e6, block_size=8)
     with pytest.raises(NotImplementedError):
         ld_scores_sharded(g, pos, cfg, snp_mesh(8))
+
+
+@pytest.mark.parametrize("missing_rate", [0.0, 0.05])
+def test_sharded_int8_matches_oracle(rng, missing_rate):
+    g = random_genotypes(rng, 160, 140, missing_rate=missing_rate)
+    pos = make_positions(160, spacing=800)
+    cfg = _cfg(ld_wind=6000, block_size=8, use_int8=True)
+    res = ld_scores_sharded(g, pos, cfg, snp_mesh(8))
+    ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr,
+                    cfg.rsq_thr)
+    tol = dict(rtol=3e-6, atol=3e-6) if missing_rate == 0 else {}
+    assert_ld_parity(res, ora, **tol)
