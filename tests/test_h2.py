@@ -164,3 +164,47 @@ def test_parity_vs_reference_constrained_additive(ref_reg):
     np.testing.assert_allclose(ours.total.value, ref.total.value, rtol=1e-6)
     np.testing.assert_allclose(ours.total.std, ref.total.std, rtol=1e-6)
     assert ours.constrain_intercept and ours.intercept.value == 1.0
+
+
+def test_partitioned_h2_matches_reference(ref_reg):
+    # multi-annotation (partitioned) regression: works in both (the
+    # reference only blocks it for two-step), and matches exactly
+    rng = np.random.default_rng(55)
+    m = 8000
+    ld1 = rng.uniform(1, 40, m)
+    ld2 = rng.uniform(1, 20, m)
+    w = (ld1 + ld2).reshape(m, 1)
+    N = np.full((m, 1), 20000.0)
+    M = np.array([[6000.0, 4000.0]])
+    expect = 1 + 20000 * (0.3 * ld1 / 6000 + 0.1 * ld2 / 4000)
+    chisq = (expect * rng.chisquare(1, m)).clip(1e-8).reshape(m, 1)
+    x = np.column_stack([ld1, ld2])
+
+    from nldsc_tpu.h2.regression import hsq_additive
+
+    ref = ref_reg.HSQAdditive(chisq, x, w, N, M, n_blocks=40, two_step=None)
+    with jax.enable_x64(True):
+        ours = hsq_additive(chisq, x, w, N, M, n_blocks=40, two_step=None)
+    np.testing.assert_allclose(ours.total.value, ref.total.value, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours.category.value),
+                               np.ravel(ref.category.value), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours.category.std),
+                               np.ravel(ref.category.std), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(ours.enrichment),
+                               np.ravel(ref.enrichment), rtol=1e-9)
+    np.testing.assert_allclose(ours.intercept.value, ref.intercept.value,
+                               rtol=1e-9)
+
+
+def test_two_step_rejects_partitioned():
+    from nldsc_tpu.h2.regression import hsq_additive
+
+    rng = np.random.default_rng(3)
+    m = 500
+    x = rng.uniform(1, 10, (m, 2))
+    y = rng.uniform(0.5, 3, (m, 1))
+    w = np.ones((m, 1))
+    N = np.full((m, 1), 1000.0)
+    M = np.array([[300.0, 200.0]])
+    with jax.enable_x64(True), pytest.raises(ValueError, match="partitioned"):
+        hsq_additive(y, x, w, N, M, n_blocks=10, two_step=30)
