@@ -38,11 +38,15 @@ class LDConfig:
     use_pallas: bool = False       # fused Pallas kernel vs banded-slab XLA path
     interpret: bool = False        # Pallas interpreter mode (debug)
     matmul_precision: str = "highest"  # 'highest' (f32) | 'high' (bf16_3x)
-    symmetric: bool = True         # halve additive matmuls via r² symmetry
-                                   # (dense in-core engine only)
+    symmetric: bool | None = None  # exploit r² symmetry (half-band + row/col
+                                   # credit); None = auto: on only when the
+                                   # data has missing genotypes (where it
+                                   # saves 2 of 8 matmuls; without missing
+                                   # the scan overhead outweighs the gain)
     use_int8: bool | None = None   # integer-exact engine (bf16/int8 MXU
                                    # matmuls + analytic corrections);
-                                   # None = auto (on when no missing data)
+                                   # None = auto (always on — fastest and
+                                   # tightest on v5e)
     int8_dot_dtype: str = "bf16"   # 'bf16' (exact, single-pass rate) | 'int8'
 
     def __post_init__(self):

@@ -68,13 +68,11 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
     g_dev = jnp.asarray(g, device=device)
 
     # padding-only missingness collapses analytically in the int8 engine,
-    # so only REAL missing genotypes force the 6-matmul path
+    # so only REAL missing genotypes force the 6/8-matmul paths
     has_missing = bool((genotypes < 0).any())
-    use_int8 = config.use_int8
-    if use_int8 is None:
-        # integer engine is ~2x faster when the 4 missing-interaction
-        # matmuls vanish; with missing data the symmetric f32 engine wins
-        use_int8 = not has_missing
+    use_int8 = config.use_int8 if config.use_int8 is not None else True
+    symmetric = (config.symmetric if config.symmetric is not None
+                 else has_missing)
 
     if use_int8:
         from . import ld_int8  # noqa: PLC0415
@@ -88,7 +86,7 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
             jnp.asarray(lo_pad), jnp.asarray(hi_pad), pre["usable"], dom_ok,
             pre["add_sd_zero"], jnp.asarray(blk_lo), jnp.asarray(blk_hi),
             jnp.float32(config.rsq_thr))
-        if config.symmetric:
+        if symmetric:
             right_k = windows.right_band_blocks(blk_hi, B)
             l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8_sym(
                 *int8_args, block_size=B, band_k=band_k, right_k=right_k,
@@ -123,7 +121,7 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
             *args, rsq_thr=float(config.rsq_thr), block_size=B, band_k=band_k,
             n_samples=n, sample_chunk=config.sample_chunk,
             interpret=config.interpret, precision=config.matmul_precision)
-    elif config.symmetric:
+    elif symmetric:
         right_k = windows.right_band_blocks(blk_hi, B)
         l2, l2d, ws, wsd, wse = ld_xla.ld_scores_xla_sym(
             *args, jnp.float32(config.rsq_thr), block_size=B, band_k=band_k,
@@ -184,6 +182,7 @@ def estimate_lds(
     resume_path: str | None = None,
     n_devices: int | None = None,
     profile_dir: str | None = None,
+    verbose: int = 0,  # accepted for reference API drop-in compatibility
 ) -> pd.DataFrame | None:
     """Estimate additive + dominance LD scores from a PLINK bfile.
 

@@ -44,11 +44,13 @@ def test_oracle_reproduces_golden(golden):
                                    equal_nan=True, err_msg=k)
 
 
-@pytest.mark.parametrize("engine", ["sym", "plain", "pallas"])
+@pytest.mark.parametrize(
+    "engine", ["int8", "int8-sym", "f32-sym", "f32-plain", "pallas"])
 def test_engines_match_golden(golden, engine):
     cfg = LDConfig(ld_wind=WIND, wind_metric="bp", maf_thr=MAF, std_thr=STD,
                    rsq_thr=RSQ, block_size=32,
-                   symmetric=(engine == "sym"),
+                   use_int8=engine.startswith("int8"),
+                   symmetric=engine.endswith("sym"),
                    use_pallas=(engine == "pallas"),
                    interpret=(engine == "pallas"), sample_chunk=128)
     res = compute_ld_scores(golden["genotypes"], golden["positions"], cfg)
