@@ -105,3 +105,26 @@ def test_unsorted_positions_rejected():
     pos = np.array([1.0, 3.0, 2.0])
     with pytest.raises(NLDSCDataError):
         windows.window_bounds(pos, 10.0)
+
+
+def test_device_window_boundary_inclusive(rng):
+    # pairs exactly at distance == window are INCLUDED (tools.h:45-46)
+    g = random_genotypes(rng, 3, 256, missing_rate=0.0)
+    pos = np.array([0.0, 1000.0, 2000.0])
+    cfg = make_config(ld_wind=1000, block_size=8)
+    res = compute_ld_scores(g, pos, cfg)
+    assert res["l2_ws"][0] == 1 and res["l2_ws"][1] == 2
+
+
+def test_device_sample_permutation_invariance(rng):
+    g = random_genotypes(rng, 40, 200, missing_rate=0.05)
+    pos = make_positions(40, spacing=900)
+    perm = rng.permutation(200)
+    cfg = make_config(block_size=8)
+    a = compute_ld_scores(g, pos, cfg)
+    b = compute_ld_scores(g[:, perm], pos, cfg)
+    for k in ("l2", "l2d"):
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-5,
+                                   equal_nan=True)
+    for k in ("l2_ws", "l2d_ws", "l2d_wse"):
+        np.testing.assert_array_equal(a[k], b[k])
