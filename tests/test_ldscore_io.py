@@ -75,3 +75,33 @@ def test_use_m_prefers_dot_m(tmp_path, rng):
     assert (m, md) == (111, 22)
     _, m, md = read_ld_scores(str(path), use_m=False)
     assert (m, md) == (999, 99)
+
+
+def test_sumstats_reader_variants(tmp_path, rng):
+    import gzip
+
+    from nldsc_tpu.io.sumstats import read_sumstats, sniff_compression
+
+    df = pd.DataFrame({
+        "SNP": [f"rs{i}" for i in range(50)] + ["rs0"],  # dup
+        "Z": list(rng.normal(size=50)) + [1.0],
+        "N": 1000.0,
+        "A1": "A", "A2": "G",
+    })
+    df.loc[3, "Z"] = None  # NA row
+
+    plain = tmp_path / "ss.sumstats"
+    df.to_csv(plain, sep="\t", index=False, na_rep=".")
+    out = read_sumstats(str(plain))
+    assert len(out) == 49  # -1 NA, -1 dup
+    assert list(out.columns) == ["SNP", "Z", "N"]
+
+    out_alleles = read_sumstats(str(plain), alleles=True)
+    assert {"A1", "A2"} <= set(out_alleles.columns)
+
+    gz = tmp_path / "ss.sumstats.gz"
+    with gzip.open(gz, "wt") as f:
+        df.to_csv(f, sep="\t", index=False, na_rep=".")
+    assert sniff_compression(str(gz)) == ".gz"
+    out_gz = read_sumstats(str(gz))
+    pd.testing.assert_frame_equal(out_gz, out)
