@@ -31,12 +31,15 @@ def sniff_compression(filename: str) -> str | None:
 
 def read_sumstats(path: str, alleles: bool = False,
                   dropna: bool = True) -> pd.DataFrame:
+    # compression: pandas' "infer" handles every extension the reference's
+    # sniffer recognized (the reference passed the raw extension to pandas,
+    # which modern pandas rejects — a latent bug there)
     columns = ["SNP", "Z", "N"] + (["A1", "A2"] if alleles else [])
     dtypes = {"SNP": str, "Z": float, "N": float, "A1": str, "A2": str}
     data = pd.read_csv(
         path, sep=r"\s+", na_values=".", usecols=columns,
         dtype={k: v for k, v in dtypes.items() if k in columns},
-        compression=sniff_compression(path) or "infer",
+        compression="infer",
     )
     if dropna:
         data = data.dropna(how="any")
