@@ -128,12 +128,17 @@ def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
               help="Two-step estimator chi-square cutoff")
 @click.option("--use-M", "use_m", is_flag=True, default=False,
               help="Use .M file instead of .M_5_50")
+@click.option("--samp-prev", metavar="P", type=float, default=None,
+              help="Sample prevalence (with --pop-prev: report "
+                   "liability-scale h2)")
+@click.option("--pop-prev", metavar="K", type=float, default=None,
+              help="Population prevalence")
 @click.option("-s", "--save-to-json", metavar="W", default=None,
               help="Path to file where to write results")
 @click.option("--display", is_flag=True, default=False, help="Display traceback")
 @handle_exception
 def est_h2(sumstats, ref_ld, w_ld, strategy, chisq_max, n_blocks,
-           intercept_h2, two_step, use_m, save_to_json):
+           intercept_h2, two_step, use_m, samp_prev, pop_prev, save_to_json):
     if ref_ld != w_ld:
         raise NotImplementedError(
             "Method for different annotations is not yet implemented. "
@@ -144,7 +149,8 @@ def est_h2(sumstats, ref_ld, w_ld, strategy, chisq_max, n_blocks,
     estimate_h2(
         sumstats=sumstats, ldscore=ref_ld, n_blocks=n_blocks,
         intercept_h2=intercept_h2, chisq_max=chisq_max, use_m=use_m,
-        two_step=two_step, strategy=strategy, save_to_json=save_to_json)
+        two_step=two_step, strategy=strategy, save_to_json=save_to_json,
+        samp_prev=samp_prev, pop_prev=pop_prev)
 
 
 if __name__ == "__main__":

@@ -122,10 +122,15 @@ def estimate_h2(
     two_step: float | None = None,
     strategy: str = "two-stg",
     save_to_json: str | None = None,
+    samp_prev: float | None = None,
+    pop_prev: float | None = None,
 ) -> dict:
     """Estimate additive + dominance heritability (reference estimate_h2).
 
     Returns the summary dict (and optionally saves it as JSON).
+    ``samp_prev``/``pop_prev``: case/control prevalences — when both are
+    given, liability-scale h² is added to the summary (the reference
+    implements the conversion but never exposes it).
     """
     log.info("Reading GWAS summary statistics...")
     ss = read_sumstats(sumstats, alleles=False, dropna=True)
@@ -145,6 +150,16 @@ def estimate_h2(
     log.info("Estimating heritability...")
     result = estimate_h2_frames(ss, ld, M, MD, config)
     summary = result["summary"]
+
+    if samp_prev is not None and pop_prev is not None:
+        from .regression import h2_obs_to_liability  # noqa: PLC0415
+
+        factor = h2_obs_to_liability(1.0, samp_prev, pop_prev)
+        for part in ("additive", "dominant"):
+            summary[part]["hsq.liability"] = summary[part]["hsq"] * factor
+            summary[part]["hsq.liability.std"] = (
+                summary[part]["hsq.std"] * factor)
+
     print(prettify_summary(summary))
 
     if save_to_json:

@@ -208,3 +208,42 @@ def test_two_step_rejects_partitioned():
     M = np.array([[300.0, 200.0]])
     with jax.enable_x64(True), pytest.raises(ValueError, match="partitioned"):
         hsq_additive(y, x, w, N, M, n_blocks=10, two_step=30)
+
+
+def test_liability_conversion():
+    from scipy import stats as ss
+
+    from nldsc_tpu.h2.regression import h2_obs_to_liability
+
+    K, P = 0.01, 0.5
+    thresh = ss.norm.isf(K)
+    expected = K**2 * (1 - K)**2 / (P * (1 - P) * ss.norm.pdf(thresh)**2)
+    assert h2_obs_to_liability(0.3, P, K) == pytest.approx(0.3 * expected)
+    assert h2_obs_to_liability(0.3, float("nan"), float("nan")) == 0.3
+    with pytest.raises(ValueError):
+        h2_obs_to_liability(0.3, 1.5, K)
+
+
+def test_liability_in_pipeline_summary(tmp_path):
+    import pandas as pd
+
+    from nldsc_tpu.h2.pipeline import estimate_h2
+
+    rng = np.random.default_rng(4)
+    m = 3000
+    ld = pd.DataFrame({
+        "CHR": 22, "SNP": [f"rs{i}" for i in range(m)],
+        "BP": np.arange(1, m + 1) * 100,
+        "L2": rng.uniform(1, 30, m), "L2D": rng.uniform(0, 2, m),
+        "MAF": 0.3, "WSA": 20, "WSD": 18, "WSDE": 4, "RSTD": 0.5,
+    })
+    l2_path = str(tmp_path / "x.L2")
+    ld.to_csv(l2_path, sep="\t", index=False)
+    ssf = pd.DataFrame({"SNP": ld["SNP"], "Z": rng.normal(size=m),
+                        "N": 5000.0})
+    ss_path = str(tmp_path / "x.sumstats")
+    ssf.to_csv(ss_path, sep="\t", index=False)
+    out = estimate_h2(ss_path, l2_path, n_blocks=20,
+                      samp_prev=0.4, pop_prev=0.05)
+    assert "hsq.liability" in out["additive"]
+    assert "hsq.liability.std" in out["dominant"]
