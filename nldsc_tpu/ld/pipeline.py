@@ -86,7 +86,14 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
             jnp.asarray(lo_pad), jnp.asarray(hi_pad), pre["usable"], dom_ok,
             pre["add_sd_zero"], jnp.asarray(blk_lo), jnp.asarray(blk_hi),
             jnp.float32(config.rsq_thr))
-        if symmetric:
+        if config.use_pallas:
+            from . import ld_pallas_int8  # noqa: PLC0415
+            l2, l2d, ws, wsd, wse = ld_pallas_int8.ld_scores_pallas_int8(
+                *int8_args[:-1], rsq_thr=float(config.rsq_thr),
+                block_size=B, band_k=band_k, n_samples=n,
+                sample_chunk=config.sample_chunk, interpret=config.interpret,
+                has_missing=has_missing)
+        elif symmetric:
             right_k = windows.right_band_blocks(blk_hi, B)
             l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8_sym(
                 *int8_args, block_size=B, band_k=band_k, right_k=right_k,

@@ -77,3 +77,16 @@ def test_int8_heavy_missing(rng):
     res = compute_ld_scores(g, pos, cfg)
     ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr, cfg.rsq_thr)
     assert_ld_parity(res, ora)
+
+
+@pytest.mark.parametrize("missing_rate", [0.0, 0.05])
+def test_int8_pallas_kernel(rng, missing_rate):
+    g = random_genotypes(rng, 96, 140, missing_rate=missing_rate)
+    pos = make_positions(96, spacing=700)
+    cfg = _cfg(block_size=32, use_pallas=True, interpret=True,
+               sample_chunk=128)
+    res = compute_ld_scores(g, pos, cfg)
+    ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr,
+                    cfg.rsq_thr)
+    tol = dict(rtol=3e-6, atol=3e-6) if missing_rate == 0 else {}
+    assert_ld_parity(res, ora, **tol)
