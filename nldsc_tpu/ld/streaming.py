@@ -196,15 +196,11 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
             out[k] = saved[k]
         log.info("Resuming: %d chunks already complete", len(done))
 
-    for ci in range(n_chunks):
-        if ci in done:
-            continue
+    def read_band(ci):
+        """Host-side decode of chunk ci's window band (prefetch thread)."""
         p0 = ci * chunk_rows
-        p1 = p0 + chunk_rows
-        n_piv_blocks = chunk_rows // B
         band_lo = p0 - halo              # may be negative (masked)
         band_hi = band_lo + band_rows
-
         g_band = np.full((band_rows, n_pad), -1, dtype=np.int8)
         r0, r1 = max(band_lo, 0), min(band_hi, m)
         chunk_has_missing = False
@@ -216,6 +212,23 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
         g0c, g1c = max(band_lo, 0), min(band_hi, m_ext)
         if g1c > g0c:
             pos_ok_band[g0c - band_lo:g1c - band_lo] = pos_ok_pad[g0c:g1c]
+        return g_band, pos_ok_band, chunk_has_missing
+
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    todo = [ci for ci in range(n_chunks) if ci not in done]
+    pool = ThreadPoolExecutor(max_workers=1)
+    prefetch = pool.submit(read_band, todo[0]) if todo else None
+    for idx, ci in enumerate(todo):
+        p0 = ci * chunk_rows
+        p1 = p0 + chunk_rows
+        n_piv_blocks = chunk_rows // B
+        band_lo = p0 - halo
+
+        # chunk ci's decode overlapped the previous chunk's device compute
+        g_band, pos_ok_band, chunk_has_missing = prefetch.result()
+        if idx + 1 < len(todo):
+            prefetch = pool.submit(read_band, todo[idx + 1])
 
         chunk_args = (
             jnp.asarray(lo_pad[p0:p1]), jnp.asarray(hi_pad[p0:p1]),
@@ -268,4 +281,5 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
         log.info("chunk %d/%d done (rows %d..%d, band %d rows)",
                  ci + 1, n_chunks, p0, p1, band_rows)
 
+    pool.shutdown()
     return {k: v[:m] for k, v in out.items()}
