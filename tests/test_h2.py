@@ -247,3 +247,31 @@ def test_liability_in_pipeline_summary(tmp_path):
                       samp_prev=0.4, pop_prev=0.05)
     assert "hsq.liability" in out["additive"]
     assert "hsq.liability.std" in out["dominant"]
+
+
+def test_one_stage_strategy_not_implemented(tmp_path):
+    import pandas as pd
+
+    from nldsc_tpu.config import H2Config
+    from nldsc_tpu.h2.pipeline import estimate_h2_frames
+
+    rng = np.random.default_rng(2)
+    m = 500
+    ld = pd.DataFrame({"SNP": [f"rs{i}" for i in range(m)],
+                       "L2": rng.uniform(1, 10, m),
+                       "L2D": rng.uniform(0, 1, m)})
+    ssf = pd.DataFrame({"SNP": ld["SNP"], "Z": rng.normal(size=m),
+                        "N": 1000.0})
+    cfg = H2Config(strategy="one-stg", n_blocks=10)
+    with pytest.raises(NotImplementedError):
+        estimate_h2_frames(ssf, ld, 400, 200, cfg)
+
+
+def test_h2_config_validation():
+    from nldsc_tpu.config import H2Config
+    from nldsc_tpu.core.errors import NLDSCParameterError
+
+    with pytest.raises(NLDSCParameterError):
+        H2Config(strategy="bogus")
+    with pytest.raises(NLDSCParameterError):
+        H2Config(n_blocks=1)

@@ -128,3 +128,30 @@ def test_device_sample_permutation_invariance(rng):
                                    equal_nan=True)
     for k in ("l2_ws", "l2d_ws", "l2d_wse"):
         np.testing.assert_array_equal(a[k], b[k])
+
+
+@pytest.mark.parametrize("use_int8", [True, False])
+def test_constant_cm_positions(rng, use_int8):
+    # real .bim files often carry an all-zero CM column: every pair is
+    # within any window — the full-matrix degenerate case
+    g = random_genotypes(rng, 72, 130, missing_rate=0.02)
+    cm = np.zeros(72)
+    cfg = make_config(ld_wind=1.0, wind_metric="cm", block_size=8,
+                      use_int8=use_int8)
+    res = compute_ld_scores(g, cm, cfg)
+    ora = oracle_ld(g, cm, 1.0, cfg.maf_thr, cfg.std_thr, cfg.rsq_thr)
+    assert_ld_parity(res, ora)
+    usable = ~np.isnan(res["l2"])
+    assert (res["l2_ws"][usable] == usable.sum() - 1).all()
+
+
+@pytest.mark.parametrize("use_int8", [True, False])
+def test_duplicate_bp_positions(rng, use_int8):
+    # duplicated BP coordinates (multi-allelic split sites) must not break
+    # the sorted-interval window logic
+    g = random_genotypes(rng, 60, 100, missing_rate=0.0)
+    bp = np.repeat(np.arange(1, 31) * 1000.0, 2)
+    cfg = make_config(ld_wind=2000, block_size=8, use_int8=use_int8)
+    res = compute_ld_scores(g, bp, cfg)
+    ora = oracle_ld(g, bp, 2000, cfg.maf_thr, cfg.std_thr, cfg.rsq_thr)
+    assert_ld_parity(res, ora)
