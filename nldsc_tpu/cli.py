@@ -124,8 +124,9 @@ def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
               help="Number of jackknife blocks")
 @click.option("--intercept-h2", metavar="F", type=float, default=None,
               help="Constrain the additive LD-score regression intercept")
-@click.option("--two-step", metavar="F", type=float, default=30,
-              help="Two-step estimator chi-square cutoff")
+@click.option("--two-step", metavar="F", type=float, default=None,
+              help="Two-step estimator chi-square cutoff (default: 30 when "
+                   "the intercept is free, disabled with --intercept-h2)")
 @click.option("--use-M", "use_m", is_flag=True, default=False,
               help="Use .M file instead of .M_5_50")
 @click.option("--samp-prev", metavar="P", type=float, default=None,

@@ -59,7 +59,12 @@ def preprocess_int8(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array,
     hq = jnp.where(valid, 2 * jnp.minimum(g, 1), 0).astype(jnp.int8)
 
     gf = gq.astype(jnp.float32)
-    n_valid = jnp.maximum(jnp.sum(valid, axis=1), 1).astype(jnp.float32)
+    n_valid_raw = jnp.sum(valid, axis=1)
+    # reference semantics for an ALL-missing SNP: NaN mean -> the MAF drop
+    # test is false -> stays usable as an additive-sum poison (see
+    # preprocess.preprocess_block)
+    all_missing = n_valid_raw == 0
+    n_valid = jnp.maximum(n_valid_raw, 1).astype(jnp.float32)
     add_sum = jnp.sum(gf, axis=1)
     dom_sum = jnp.sum(hq.astype(jnp.float32), axis=1)
     am = add_sum / n_valid
@@ -67,7 +72,7 @@ def preprocess_int8(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array,
 
     f2 = am * 0.5
     maf = jnp.minimum(f2, 1.0 - f2)
-    usable = pos_ok & (maf > maf_thr)
+    usable = pos_ok & ((maf > maf_thr) | all_missing)
 
     # population moments of the imputed vectors via the same decomposition
     # (exact integer second moments + rank-1 corrections)
@@ -80,7 +85,7 @@ def preprocess_int8(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array,
     cov_ad_sum = sgh + am * dm * n_miss - n_pad * am * dm
 
     add_sd = jnp.sqrt(jnp.maximum(var_a_sum, 0.0) / n)
-    add_sd_zero = usable & (var_a_sum <= 0.0)
+    add_sd_zero = usable & ((var_a_sum <= 0.0) | all_missing)
     safe_var = jnp.where(var_a_sum > 0, var_a_sum, 1.0)
     slope = cov_ad_sum / safe_var
 
@@ -99,7 +104,7 @@ def preprocess_int8(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array,
         "g": gq, "m": mq, "h": hq,
         "am": am, "dm": dm, "slope": slope,
         "inv_sd": inv_sd, "inv_rstd": inv_rstd,
-        "maf": jnp.where(pos_ok, maf, nan),
+        "maf": jnp.where(pos_ok & ~all_missing, maf, nan),
         "rstd": jnp.where(usable & ~add_sd_zero, rstd, nan),
         "usable": usable, "add_sd_zero": add_sd_zero,
         "has_missing": jnp.any(mq > 0),

@@ -157,9 +157,11 @@ def ld_scores_pallas_int8(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi,
     m_pad, n_pad = g.shape
     B = block_size
     nb = m_pad // B
-    nc = min(sample_chunk, n_pad)
+    # sample chunk must tile N_pad exactly and stay lane-aligned: snap to
+    # the largest multiple-of-128 divisor of n_pad not above sample_chunk
+    nc = max(128, (min(sample_chunk, n_pad) // 128) * 128)
     while n_pad % nc != 0:
-        nc //= 2
+        nc -= 128
     n_chunks = n_pad // nc
 
     meta = pack_metadata(lo, hi, usable, dom_ok, add_sd_zero, nb, B)

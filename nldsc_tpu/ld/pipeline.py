@@ -34,6 +34,19 @@ def _pad_to(x: np.ndarray, size: int, fill) -> np.ndarray:
     return np.concatenate([x, np.full(pad_shape, fill, dtype=x.dtype)], axis=0)
 
 
+def to_host_result(l2, l2d, ws, wsd, wse, maf, rstd, m: int) -> dict:
+    """Assemble the reference ``LDScoreResult`` fields on host (first m rows)."""
+    return {
+        "l2": np.asarray(l2, dtype=np.float64)[:m],
+        "l2d": np.asarray(l2d, dtype=np.float64)[:m],
+        "maf": np.asarray(maf, dtype=np.float64)[:m],
+        "residuals_std": np.asarray(rstd, dtype=np.float64)[:m],
+        "l2_ws": np.asarray(ws, dtype=np.int64)[:m],
+        "l2d_ws": np.asarray(wsd, dtype=np.int64)[:m],
+        "l2d_wse": np.asarray(wse, dtype=np.int64)[:m],
+    }
+
+
 def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
                       config: LDConfig, *, device=None) -> dict:
     """LD scores for an in-core genotype matrix.
@@ -103,15 +116,7 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
             l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8(
                 *int8_args, block_size=B, band_k=band_k, n_samples=n,
                 has_missing=has_missing, dot_dtype=config.int8_dot_dtype)
-        return {
-            "l2": np.asarray(l2, dtype=np.float64)[:m],
-            "l2d": np.asarray(l2d, dtype=np.float64)[:m],
-            "maf": np.asarray(pre["maf"], dtype=np.float64)[:m],
-            "residuals_std": np.asarray(pre["rstd"], dtype=np.float64)[:m],
-            "l2_ws": np.asarray(ws, dtype=np.int64)[:m],
-            "l2d_ws": np.asarray(wsd, dtype=np.int64)[:m],
-            "l2d_wse": np.asarray(wse, dtype=np.int64)[:m],
-        }
+        return to_host_result(l2, l2d, ws, wsd, wse, pre["maf"], pre["rstd"], m)
 
     pre = preprocess.preprocess_block(
         g_dev, jnp.asarray(pos_ok_pad), jnp.float32(config.maf_thr),
@@ -138,15 +143,7 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
             *args, jnp.float32(config.rsq_thr), block_size=B, band_k=band_k,
             n_samples=n, precision=config.matmul_precision)
 
-    return {
-        "l2": np.asarray(l2, dtype=np.float64)[:m],
-        "l2d": np.asarray(l2d, dtype=np.float64)[:m],
-        "maf": np.asarray(pre["maf"], dtype=np.float64)[:m],
-        "residuals_std": np.asarray(pre["rstd"], dtype=np.float64)[:m],
-        "l2_ws": np.asarray(ws, dtype=np.int64)[:m],
-        "l2d_ws": np.asarray(wsd, dtype=np.int64)[:m],
-        "l2d_wse": np.asarray(wse, dtype=np.int64)[:m],
-    }
+    return to_host_result(l2, l2d, ws, wsd, wse, pre["maf"], pre["rstd"], m)
 
 
 def show_summary(result: dict) -> str:

@@ -47,9 +47,14 @@ def preprocess_block(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array
 
     valid = g >= 0
     gf = jnp.where(valid, g, 0).astype(jnp.float32)
-    # all-missing rows (e.g. SNP-axis padding) divide by 1 instead of 0;
-    # their means are garbage but the rows are unusable and zeroed anyway
-    n_valid = jnp.maximum(jnp.sum(valid, axis=1), 1).astype(jnp.float32)
+    n_valid_raw = jnp.sum(valid, axis=1)
+    # reference semantics for an ALL-missing SNP (encoder.h:99-122 with
+    # n_nans==0): mean = 0/0 = NaN, the `maf <= thr` drop test is false for
+    # NaN, so the SNP stays USABLE with NaN vectors that poison the
+    # additive sums of every in-window pair, while its NaN residual sd
+    # keeps it out of dominance.  We mark it usable + add_sd_zero (poison).
+    all_missing = n_valid_raw == 0
+    n_valid = jnp.maximum(n_valid_raw, 1).astype(jnp.float32)
 
     # integer-valued f32 sums are exact below 2^24
     add_sum = jnp.sum(gf, axis=1)
@@ -61,7 +66,7 @@ def preprocess_block(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array
 
     f2 = add_mean * 0.5
     maf = jnp.minimum(f2, 1.0 - f2)
-    usable = pos_ok & (maf > maf_thr)
+    usable = pos_ok & ((maf > maf_thr) | all_missing)
 
     # mean-impute missing AND sample padding; imputed mean == column mean
     a = jnp.where(valid, gf, add_mean[:, None])
@@ -72,7 +77,7 @@ def preprocess_block(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array
     var_a_sum = jnp.sum(a_c * a_c, axis=1)            # = n * population var
     cov_ad_sum = jnp.sum(a_c * d_c, axis=1)
     add_sd = jnp.sqrt(var_a_sum / n)
-    add_sd_zero = usable & (var_a_sum <= 0.0)
+    add_sd_zero = usable & ((var_a_sum <= 0.0) | all_missing)
 
     safe_var = jnp.where(var_a_sum > 0, var_a_sum, 1.0)
     slope = cov_ad_sum / safe_var
@@ -88,7 +93,7 @@ def preprocess_block(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array
     res_out = jnp.where(row_ok & ~add_sd_zero[:, None], r_c * inv_rstd[:, None], 0.0)
 
     nan = jnp.float32(jnp.nan)
-    maf_out = jnp.where(pos_ok, maf, nan)
+    maf_out = jnp.where(pos_ok & ~all_missing, maf, nan)
     rstd_out = jnp.where(usable & ~add_sd_zero, rstd, nan)
 
     return {

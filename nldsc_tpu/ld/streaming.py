@@ -159,6 +159,8 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     m, n = bed.n_snp, bed.n_samples
     B = config.block_size
     chunk_rows = max(B, (chunk_rows // B) * B)
+    if resume_path and not resume_path.endswith(".npz"):
+        resume_path += ".npz"  # np.savez appends it on write
     m_pad = -(-m // B) * B
     n_pad = -(-n // 128) * 128
 
@@ -276,7 +278,11 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
         out["l2d_wse"][p0:p1] = wse
 
         done.add(ci)
-        if resume_path:
+        # checkpoint writes rewrite all outputs (O(M)); amortize over ~20
+        # saves per run, plus always after the final chunk
+        save_every = max(1, len(todo) // 20)
+        if resume_path and (idx % save_every == save_every - 1
+                            or idx == len(todo) - 1):
             np.savez(resume_path, chunks=np.array(sorted(done)), **out)
         log.info("chunk %d/%d done (rows %d..%d, band %d rows)",
                  ci + 1, n_chunks, p0, p1, band_rows)

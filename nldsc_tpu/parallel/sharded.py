@@ -260,9 +260,8 @@ def ld_scores_sharded(genotypes: np.ndarray, positions: np.ndarray, config,
     hi_pad = np.concatenate([hi, np.full(m_pad - m, -1, np.int32)]).astype(np.int32)
 
     has_missing = bool((genotypes < 0).any())
-    use_int8 = config.use_int8
-    if use_int8 is None:
-        use_int8 = not has_missing
+    # same default policy as the single-device driver: integer engine always
+    use_int8 = config.use_int8 if config.use_int8 is not None else True
 
     with mesh:
         outs = _sharded_call(

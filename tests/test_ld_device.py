@@ -155,3 +155,23 @@ def test_duplicate_bp_positions(rng, use_int8):
     res = compute_ld_scores(g, bp, cfg)
     ora = oracle_ld(g, bp, 2000, cfg.maf_thr, cfg.std_thr, cfg.rsq_thr)
     assert_ld_parity(res, ora)
+
+
+@pytest.mark.parametrize("use_int8", [True, False])
+def test_all_missing_snp_poison(rng, use_int8):
+    # reference semantics: an ALL-missing SNP has NaN mean, survives the
+    # `maf <= thr` drop (NaN comparison is false), and NaN-poisons the
+    # additive sum of every in-window pair; its NaN residual sd keeps it
+    # out of dominance (encoder.h:99-129 with n_nans == 0)
+    g = random_genotypes(rng, 12, 100, missing_rate=0.0, maf_low=0.2)
+    g[5] = -1  # all missing
+    pos = make_positions(12, spacing=1000)
+    cfg = make_config(ld_wind=100000, block_size=8, use_int8=use_int8)
+    res = compute_ld_scores(g, pos, cfg)
+    ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr,
+                    cfg.rsq_thr)
+    assert_ld_parity(res, ora)
+    assert np.isnan(res["l2"]).all()          # every pair poisoned
+    assert np.isnan(res["maf"][5])
+    assert not np.isnan(res["l2d"][0])        # dominance unaffected
+    assert res["l2_ws"][0] == 11              # poison SNP still counted
