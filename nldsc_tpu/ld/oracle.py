@@ -73,8 +73,10 @@ def preprocess(genotypes: np.ndarray, positions: np.ndarray,
         n_valid = int(valid.sum())
         a = np.where(miss, 0.0, g)
         d = np.where(miss, 0.0, np.minimum(g, 1.0) * 2.0)  # (0,1,2)->(0,2,2)
-        add_mean = a.sum() / n_valid
-        dom_mean = d.sum() / n_valid
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # all-missing SNP: 0/0 = NaN mean is the reference behavior
+            add_mean = a.sum() / n_valid
+            dom_mean = d.sum() / n_valid
 
         f2 = add_mean / 2.0
         maf[i] = f2 if f2 < 0.5 else 1.0 - f2

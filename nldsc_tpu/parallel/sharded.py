@@ -36,12 +36,32 @@ from .mesh import SNP_AXIS
 
 
 def _halo_exchange(x: jnp.ndarray, h: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Return (from_left, from_right) halo rows of width h (zeros at edges)."""
+    """Return (from_left, from_right) halo rows of width h (zeros at edges).
+
+    When h exceeds the shard length L, rows come from shards further than
+    the ring neighbors: hop k ppermutes each shard's full row block by k
+    positions, and the halo is assembled from ceil(h/L) hops.
+    """
     n_shards = lax.axis_size(SNP_AXIS)
-    right = [(i, i + 1) for i in range(n_shards - 1)]   # send right
-    left = [(i + 1, i) for i in range(n_shards - 1)]    # send left
-    from_left = lax.ppermute(x[-h:], SNP_AXIS, right)
-    from_right = lax.ppermute(x[:h], SNP_AXIS, left)
+    L = x.shape[0]
+
+    def perm(hop, direction):
+        if direction > 0:   # send right: shard i -> i+hop (from_left source)
+            return [(i, i + hop) for i in range(n_shards - hop)]
+        return [(i + hop, i) for i in range(n_shards - hop)]
+
+    if h <= L:  # single hop: ship only the needed edge rows
+        from_left = lax.ppermute(x[-h:], SNP_AXIS, perm(1, +1))
+        from_right = lax.ppermute(x[:h], SNP_AXIS, perm(1, -1))
+        return from_left, from_right
+
+    n_hops = -(-h // L)
+    lefts = [lax.ppermute(x, SNP_AXIS, perm(k, +1))
+             for k in range(n_hops, 0, -1)]           # far -> near
+    rights = [lax.ppermute(x, SNP_AXIS, perm(k, -1))
+              for k in range(1, n_hops + 1)]          # near -> far
+    from_left = jnp.concatenate(lefts, axis=0)[-h:]
+    from_right = jnp.concatenate(rights, axis=0)[:h]
     return from_left, from_right
 
 
@@ -246,11 +266,9 @@ def ld_scores_sharded(genotypes: np.ndarray, positions: np.ndarray, config,
     lo, hi, pos_ok = windows.window_bounds(positions, config.ld_wind)
     blk_lo, blk_hi, band_k = windows.band_blocks(lo, hi, B, m_pad // B)
     halo = windows.max_halo_rows(lo, hi)
-    halo_rows = min(-(-halo // B) * B, L)
-    if halo > L:
-        raise NotImplementedError(
-            f"window span ({halo} rows) exceeds shard size ({L} rows); "
-            "use fewer devices or larger blocks (multi-hop halo TBD)")
+    # cap at m_pad - L: beyond that every other shard's rows are already
+    # in the halo (degenerates to a replicated extend, still correct)
+    halo_rows = min(-(-halo // B) * B, m_pad - L)
 
     g = np.full((m_pad, n_pad), -1, dtype=np.int8)
     g[:m, :n] = genotypes

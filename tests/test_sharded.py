@@ -61,12 +61,27 @@ def test_device_count_invariance(rng, n_dev):
     assert_ld_parity(res, ora)
 
 
-def test_window_wider_than_shard_rejected(rng):
+def test_window_wider_than_shard_multihop(rng):
+    # window spanning the whole chromosome: the halo needs rows from every
+    # other shard (multi-hop ppermute) — degenerate but must stay correct
     g = random_genotypes(rng, 128, 64)
     pos = make_positions(128, spacing=10)  # everything within window
     cfg = _cfg(ld_wind=1e6, block_size=8)
-    with pytest.raises(NotImplementedError):
-        ld_scores_sharded(g, pos, cfg, snp_mesh(8))
+    res = ld_scores_sharded(g, pos, cfg, snp_mesh(8))
+    ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr,
+                    cfg.rsq_thr)
+    assert_ld_parity(res, ora)
+
+
+def test_halo_two_hops(rng):
+    # window ~1.5 shards wide: exactly the 2-hop halo path
+    g = random_genotypes(rng, 160, 80, missing_rate=0.02)
+    pos = make_positions(160, spacing=1000)
+    cfg = _cfg(ld_wind=30000, block_size=8)  # ±30 SNPs vs L=20 rows
+    res = ld_scores_sharded(g, pos, cfg, snp_mesh(8))
+    ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr,
+                    cfg.rsq_thr)
+    assert_ld_parity(res, ora)
 
 
 @pytest.mark.parametrize("missing_rate", [0.0, 0.05])
