@@ -94,3 +94,30 @@ def test_sharded_int8_matches_oracle(rng, missing_rate):
                     cfg.rsq_thr)
     tol = dict(rtol=3e-6, atol=3e-6) if missing_rate == 0 else {}
     assert_ld_parity(res, ora, **tol)
+
+
+@pytest.mark.parametrize("missing_rate", [0.0, 0.05])
+def test_sample_sharded_matches_oracle(rng, missing_rate):
+    from nldsc_tpu.parallel.sample_sharded import ld_scores_sample_sharded
+
+    g = random_genotypes(rng, 96, 300, missing_rate=missing_rate)
+    pos = make_positions(96, spacing=800)
+    cfg = _cfg(ld_wind=6000, block_size=16)
+    res = ld_scores_sample_sharded(g, pos, cfg, snp_mesh(8))
+    ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr,
+                    cfg.rsq_thr)
+    tol = dict(rtol=3e-6, atol=3e-6) if missing_rate == 0 else {}
+    assert_ld_parity(res, ora, **tol)
+
+
+def test_sample_sharded_device_count_invariance(rng):
+    from nldsc_tpu.parallel.sample_sharded import ld_scores_sample_sharded
+
+    g = random_genotypes(rng, 64, 200, missing_rate=0.02)
+    pos = make_positions(64, spacing=700)
+    cfg = _cfg(ld_wind=4000, block_size=8)
+    a = ld_scores_sample_sharded(g, pos, cfg, snp_mesh(2))
+    b = ld_scores_sample_sharded(g, pos, cfg, snp_mesh(8))
+    for k in ("l2", "l2d"):
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-6,
+                                   equal_nan=True)
