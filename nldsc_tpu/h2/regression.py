@@ -315,6 +315,30 @@ def hsq_dominant(chisq, x_dom, w_dom, w_add_ld, N, M_dom, n_blocks,
         intercept=0.0, slow=slow, two_step=None)
 
 
+def hsq_partitioned(chisq, x_annot, w_ld, N, M_annot, n_blocks=200,
+                    intercept=None, slow=False) -> HsqResult:
+    """Partitioned (multi-annotation) additive h² regression.
+
+    A capability the reference declares but never exposes (SURVEY Q12:
+    'partitioned LD declared but unimplemented' at its CLI): the underlying
+    regression is annotation-generic and matches the reference's internal
+    p>1 path exactly.  Two-step is not supported for p>1 (both
+    implementations raise), so the intercept is either free or constrained.
+
+    Parameters
+    ----------
+    chisq : (n, 1); x_annot : (n, p) per-annotation LD scores;
+    w_ld : (n, 1) regression-weight LD scores; M_annot : (1, p) SNP counts.
+
+    Returns an :class:`HsqResult`; ``category``/``proportion``/
+    ``enrichment`` carry the per-annotation partition.
+    """
+    return ldscore_regression(
+        chisq, x_annot, w_ld, N, M_annot, n_blocks,
+        null_intercept=1.0, weights_fn=weights_additive,
+        intercept=intercept, slow=slow, two_step=None)
+
+
 def hsq_estimate(chisq, x_add, w_add, x_dom, w_dom, N, M_add, M_dom,
                  n_blocks=200, intercept_add=None, slow=False,
                  two_step=None) -> dict:

@@ -275,3 +275,26 @@ def test_h2_config_validation():
         H2Config(strategy="bogus")
     with pytest.raises(NLDSCParameterError):
         H2Config(n_blocks=1)
+
+
+def test_hsq_partitioned_api(ref_reg):
+    rng = np.random.default_rng(77)
+    m, p = 6000, 3
+    x = rng.uniform(1, 30, (m, p))
+    w = x.sum(axis=1, keepdims=True)
+    N = np.full((m, 1), 15000.0)
+    M = np.array([[3000.0, 2000.0, 1000.0]])
+    coefs = np.array([0.2 / 3000, 0.1 / 2000, 0.05 / 1000])
+    expect = 1 + 15000 * (x @ coefs)
+    chisq = (expect * rng.chisquare(1, m)).clip(1e-8).reshape(m, 1)
+
+    from nldsc_tpu.h2.regression import hsq_partitioned
+
+    ref = ref_reg.HSQAdditive(chisq, x, w, N, M, n_blocks=30, two_step=None)
+    with jax.enable_x64(True):
+        ours = hsq_partitioned(chisq, x, w, N, M, n_blocks=30)
+    np.testing.assert_allclose(np.asarray(ours.category.value),
+                               np.ravel(ref.category.value), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours.proportion.value),
+                               np.ravel(ref.proportion.value), rtol=1e-9)
+    assert np.asarray(ours.enrichment).shape == (3,)
