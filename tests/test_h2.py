@@ -295,6 +295,6 @@ def test_hsq_partitioned_api(ref_reg):
         ours = hsq_partitioned(chisq, x, w, N, M, n_blocks=30)
     np.testing.assert_allclose(np.asarray(ours.category.value),
                                np.ravel(ref.category.value), rtol=1e-9)
-    np.testing.assert_allclose(np.asarray(ours.proportion.value),
+    np.testing.assert_allclose(np.ravel(ours.proportion.value),
                                np.ravel(ref.proportion.value), rtol=1e-9)
     assert np.asarray(ours.enrichment).shape == (3,)
