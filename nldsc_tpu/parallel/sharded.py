@@ -66,6 +66,8 @@ def _halo_exchange(x: jnp.ndarray, h: int) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _extend(x: jnp.ndarray, h: int) -> jnp.ndarray:
+    if h == 0:  # single shard: x[-0:] would be the whole array
+        return x
     fl, fr = _halo_exchange(x, h)
     return jnp.concatenate([fl, x, fr], axis=0)
 

@@ -121,3 +121,30 @@ def test_sample_sharded_device_count_invariance(rng):
     for k in ("l2", "l2d"):
         np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-6,
                                    equal_nan=True)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (8, 1), (1, 8)])
+def test_grid_sharded_matches_oracle(rng, shape):
+    from nldsc_tpu.parallel.grid_sharded import (grid_mesh,
+                                                 ld_scores_grid_sharded)
+
+    g = random_genotypes(rng, 96, 200, missing_rate=0.03)
+    pos = make_positions(96, spacing=800)
+    cfg = _cfg(ld_wind=6000, block_size=8)
+    res = ld_scores_grid_sharded(g, pos, cfg, grid_mesh(*shape))
+    ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr,
+                    cfg.rsq_thr)
+    assert_ld_parity(res, ora)
+
+
+def test_grid_sharded_no_missing_exact(rng):
+    from nldsc_tpu.parallel.grid_sharded import (grid_mesh,
+                                                 ld_scores_grid_sharded)
+
+    g = random_genotypes(rng, 64, 150, missing_rate=0.0)
+    pos = make_positions(64, spacing=900)
+    cfg = _cfg(ld_wind=5000, block_size=8)
+    res = ld_scores_grid_sharded(g, pos, cfg, grid_mesh(2, 4))
+    ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr,
+                    cfg.rsq_thr)
+    assert_ld_parity(res, ora, rtol=3e-6, atol=3e-6)
