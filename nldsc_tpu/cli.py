@@ -129,6 +129,11 @@ def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
                    "the intercept is free, disabled with --intercept-h2)")
 @click.option("--use-M", "use_m", is_flag=True, default=False,
               help="Use .M file instead of .M_5_50")
+@click.option("--partitioned", is_flag=True, default=False,
+              help="Partitioned (multi-annotation) h2: --ref-ld columns "
+                   "other than CHR/SNP/BP are per-annotation LD scores "
+                   "(with per-annotation .M/.M_5_50 sidecars); --w-ld may "
+                   "differ from --ref-ld")
 @click.option("--samp-prev", metavar="P", type=float, default=None,
               help="Sample prevalence (with --pop-prev: report "
                    "liability-scale h2)")
@@ -139,11 +144,22 @@ def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
 @click.option("--display", is_flag=True, default=False, help="Display traceback")
 @handle_exception
 def est_h2(sumstats, ref_ld, w_ld, strategy, chisq_max, n_blocks,
-           intercept_h2, two_step, use_m, samp_prev, pop_prev, save_to_json):
+           intercept_h2, two_step, use_m, partitioned, samp_prev, pop_prev,
+           save_to_json):
+    if partitioned:
+        from .h2.pipeline import estimate_h2_partitioned  # noqa: PLC0415
+
+        estimate_h2_partitioned(
+            sumstats=sumstats, ref_ld=ref_ld, w_ld=w_ld, n_blocks=n_blocks,
+            intercept_h2=intercept_h2, chisq_max=chisq_max, use_m=use_m,
+            save_to_json=save_to_json)
+        return
+
     if ref_ld != w_ld:
         raise NotImplementedError(
-            "Method for different annotations is not yet implemented. "
-            "Please, make sure that `ref_ld` and `w_ld` are equal.")
+            "Method for different annotations is not yet implemented "
+            "in the additive+dominance path; use --partitioned for "
+            "multi-annotation h2, or make `ref_ld` and `w_ld` equal.")
 
     from .h2.pipeline import estimate_h2  # noqa: PLC0415
 

@@ -24,7 +24,18 @@ from ..core.logging import log
 from ..core.timing import elapsed_time
 from ..io.ldscores import read_ld_scores
 from ..io.sumstats import read_sumstats
-from .regression import hsq_estimate
+from .regression import hsq_estimate, hsq_estimate_onestage
+
+
+def _cpu_device():
+    """Context pinning to the CPU backend: float64 linear algebra is
+    unsupported on TPU, and the regression is O(M·p²) host-scale work."""
+    import contextlib
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
 
 
 def merge_ld_sumstats(sumstats: pd.DataFrame, ld: pd.DataFrame) -> pd.DataFrame:
@@ -45,7 +56,8 @@ def prettify_summary(summary: dict) -> str:
              f"chi2 mean: {summary['additive']['chisq.mean']:.4f}\n")
     text += (f"Dominant h2: {summary['dominant']['hsq']:.4e} "
              f"± std: {summary['dominant']['hsq.std']:.4e}\n")
-    text += f"residuals mean: {summary['dominant']['residuals.mean']:.4e}\n"
+    if "residuals.mean" in summary["dominant"]:
+        text += f"residuals mean: {summary['dominant']['residuals.mean']:.4e}\n"
     return text
 
 
@@ -79,24 +91,26 @@ def estimate_h2_frames(sumstats: pd.DataFrame, ld: pd.DataFrame, M: int,
              n - n_new, chisq_max, n_new)
     chisq = _cols(chisq[keep], n_new)
 
-    if config.strategy == "one-stg":
-        raise NotImplementedError("one-staged estimator has not been implemented")
-    if config.strategy != "two-stg":
+    if config.strategy not in ("one-stg", "two-stg"):
         raise NLDSCParameterError(
             "Unknown estimation strategy. Only `one-stg` and `two-stg` are allowed")
 
     ref_ld_add = _cols(overall["L2"], n_new)
     ref_ld_dom = _cols(overall["L2D"], n_new)
-    # float64 linear algebra is unsupported on TPU; the regression is
-    # O(M·p²) host-scale work, so pin it to the CPU backend when the
-    # default device is an accelerator
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu = None
-    import contextlib
-    dev_ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
-    with jax.enable_x64(True), dev_ctx:
+    with jax.enable_x64(True), _cpu_device():
+        if config.strategy == "one-stg":
+            # joint [L2, L2D] fit — the reference declares this strategy
+            # but never implemented it (nldsc/h2/routine.py:43-44)
+            return hsq_estimate_onestage(
+                chisq=chisq, x_add=ref_ld_add, x_dom=ref_ld_dom,
+                w_ld=ref_ld_add,
+                N=_cols(overall["N"], n_new),
+                M_add=np.array([[M]], dtype=np.float64),
+                M_dom=np.array([[MD]], dtype=np.float64),
+                n_blocks=config.n_blocks,
+                intercept=config.intercept_h2,
+                slow=config.slow_jackknife,
+            )
         return hsq_estimate(
             chisq=chisq,
             x_add=ref_ld_add, w_add=ref_ld_add,
@@ -109,6 +123,121 @@ def estimate_h2_frames(sumstats: pd.DataFrame, ld: pd.DataFrame, M: int,
             slow=config.slow_jackknife,
             two_step=config.two_step,
         )
+
+
+def prettify_partitioned_summary(summary: dict) -> str:
+    text = "\n==================== partitioned h2 summary ====================\n"
+    text += (f"Total observed-scale h2: {summary['total']['hsq']:.4f} "
+             f"± std: {summary['total']['hsq.std']:.4f}\n")
+    text += (f"lambda GC: {summary['lambda_gc']:.4f}, "
+             f"chi2 mean: {summary['chisq.mean']:.4f}, "
+             f"intercept: {summary['intercept']:.4f}"
+             f" ± {summary['intercept.std']:.4f}\n")
+    text += f"{'annotation':<24}{'h2':>12}{'std':>12}{'prop':>10}{'enrich':>10}\n"
+    for name, part in summary["annotations"].items():
+        text += (f"{name:<24}{part['hsq']:>12.4f}{part['hsq.std']:>12.4f}"
+                 f"{part['prop']:>10.4f}{part['enrichment']:>10.4f}\n")
+    return text
+
+
+@elapsed_time
+def estimate_h2_partitioned(
+    sumstats: str,
+    ref_ld: str,
+    w_ld: str,
+    n_blocks: int = 200,
+    intercept_h2: float | None = None,
+    chisq_max: float | None = None,
+    use_m: bool = False,
+    save_to_json: str | None = None,
+) -> dict:
+    """Partitioned (multi-annotation) heritability estimation.
+
+    The reference declares partitioned LD support and raises
+    NotImplementedError (SURVEY Q12, ``regressions.py:177-178``); here it
+    is a first-class workload.  ``ref_ld`` points to a .L2 file/directory
+    whose non-key columns are per-annotation LD scores with .M/.M_5_50
+    sidecars carrying per-annotation SNP counts; ``w_ld`` supplies the
+    (single-column) regression-weight LD scores and may differ from
+    ``ref_ld`` (typically non-partitioned genome-wide scores).
+    """
+    from ..io.ldscores import read_ld_scores_partitioned  # noqa: PLC0415
+    from .regression import hsq_partitioned  # noqa: PLC0415
+
+    log.info("Reading GWAS summary statistics...")
+    ss = read_sumstats(sumstats, alleles=False, dropna=True)
+
+    log.info("Reading partitioned LD Scores...")
+    ref, M_annot, annots = read_ld_scores_partitioned(ref_ld, use_m=use_m)
+
+    if w_ld == ref_ld and annots == ["L2"]:
+        w_frame = ref[["SNP", "L2"]].rename(columns={"L2": "_WLD"})
+    elif w_ld == ref_ld:
+        # standard LDSC convention: weights = sum over annotations
+        w_frame = pd.DataFrame({
+            "SNP": ref["SNP"],
+            "_WLD": ref[annots].sum(axis=1).to_numpy()})
+    else:
+        w_scores, _, w_annots = read_ld_scores_partitioned(w_ld, use_m=use_m)
+        if len(w_annots) != 1:
+            raise NLDSCParameterError(
+                "--w-ld must be a single-annotation LD score file")
+        w_frame = w_scores[["SNP", w_annots[0]]].rename(
+            columns={w_annots[0]: "_WLD"})
+
+    overall = merge_ld_sumstats(ss, ref[["SNP", *annots]])
+    overall = pd.merge(overall, w_frame, how="inner", on="SNP")
+    n = len(overall)
+    if n == 0:
+        raise RuntimeError("No SNPs remain after merging with weight LD scores")
+    chisq = _cols(overall["Z"] ** 2, n)
+
+    if chisq_max is None:
+        chisq_max = max(0.001 * overall["N"].max(), 80)
+    keep = np.ravel(chisq < chisq_max)
+    overall = overall.iloc[keep]
+    n_new = len(overall)
+    log.info("Removed %d SNPs with chi^2 > %s (%d SNPs remain)",
+             n - n_new, chisq_max, n_new)
+    chisq = _cols(chisq[keep], n_new)
+
+    x = overall[annots].to_numpy(dtype=np.float64)
+    w = _cols(overall["_WLD"], n_new)
+    N = _cols(overall["N"], n_new)
+
+    with jax.enable_x64(True), _cpu_device():
+        res = hsq_partitioned(chisq, x, w, N, M_annot,
+                              n_blocks=n_blocks, intercept=intercept_h2)
+
+    cat = np.asarray(res.category.value, dtype=np.float64)
+    cat_std = np.asarray(res.category.std, dtype=np.float64)
+    prop = np.ravel(np.asarray(res.proportion.value, dtype=np.float64))
+    prop_std = np.ravel(np.asarray(res.proportion.std, dtype=np.float64))
+    enrich = np.asarray(res.enrichment, dtype=np.float64)
+    m_prop = np.ravel(np.asarray(res.M_prop, dtype=np.float64))
+    summary = {
+        "total": {"hsq": res.total.value, "hsq.std": res.total.std},
+        "annotations": {
+            name: {
+                "hsq": float(cat[i]),
+                "hsq.std": float(cat_std[i]),
+                "prop": float(prop[i]),
+                "prop.std": float(prop_std[i]),
+                "enrichment": float(enrich[i]),
+                "M": float(np.ravel(M_annot)[i]),
+                "M.prop": float(m_prop[i]),
+            } for i, name in enumerate(annots)
+        },
+        "lambda_gc": res.lambda_gc,
+        "chisq.mean": res.mean_chisq,
+        "intercept": res.intercept.value,
+        "intercept.std": res.intercept.std,
+        "intercept.constrained": res.constrain_intercept,
+    }
+    print(prettify_partitioned_summary(summary))
+    if save_to_json:
+        attempt_save(save_to_json, summary)
+    return summary
 
 
 @elapsed_time

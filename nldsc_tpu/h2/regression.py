@@ -339,6 +339,51 @@ def hsq_partitioned(chisq, x_annot, w_ld, N, M_annot, n_blocks=200,
         intercept=intercept, slow=slow, two_step=None)
 
 
+def hsq_estimate_onestage(chisq, x_add, x_dom, w_ld, N, M_add, M_dom,
+                          n_blocks=200, intercept=None, slow=False) -> dict:
+    """Joint single-stage estimator (the reference's declared-but-absent
+    ``one-stg`` strategy, ``nldsc/h2/routine.py:43-44``).
+
+    Regresses χ² on [L2, L2D] **simultaneously** as a 2-annotation
+    partitioned model with one shared intercept, instead of the two-stage
+    additive-fit-then-residual-regression.  Standard errors for both
+    partitions come from one joint block jackknife, so the dominance SE
+    correctly accounts for its covariance with the additive estimate
+    (which the sequential estimator's plug-in residuals ignore).
+    Two-step is unavailable (p>1); the intercept is free or constrained.
+    """
+    chisq, x_add, x_dom = (jnp.asarray(a) for a in (chisq, x_add, x_dom))
+    n = chisq.shape[0]
+    x = jnp.concatenate([x_add.reshape(n, 1), x_dom.reshape(n, 1)], axis=1)
+    M_annot = jnp.concatenate(
+        [jnp.asarray(M_add).reshape(1, 1), jnp.asarray(M_dom).reshape(1, 1)],
+        axis=1)
+    log.info("Estimating additive + non-additive heritability jointly...")
+    joint = hsq_partitioned(chisq, x, w_ld, N, M_annot, n_blocks=n_blocks,
+                            intercept=intercept, slow=slow)
+    cat = np.asarray(joint.category.value, dtype=np.float64)
+    cat_std = np.asarray(joint.category.std, dtype=np.float64)
+    summary = {
+        "additive": {
+            "hsq": float(cat[0]),
+            "hsq.std": float(cat_std[0]),
+            "lambda_gc": joint.lambda_gc,
+            "chisq.mean": joint.mean_chisq,
+            "intercept": joint.intercept.value,
+            "intercept.std": joint.intercept.std,
+            "intercept.constrained": joint.constrain_intercept,
+        },
+        "dominant": {
+            "hsq": float(cat[1]),
+            "hsq.std": float(cat_std[1]),
+            "intercept": joint.intercept.value,
+            "intercept.std": joint.intercept.std,
+        },
+        "strategy": "one-stg",
+    }
+    return {"summary": summary, "joint": joint}
+
+
 def hsq_estimate(chisq, x_add, w_add, x_dom, w_dom, N, M_add, M_dom,
                  n_blocks=200, intercept_add=None, slow=False,
                  two_step=None) -> dict:

@@ -119,6 +119,94 @@ def read_ld_scores(path: str, use_m: bool = False) -> tuple[pd.DataFrame, int, i
     return _read_one(p, use_m)
 
 
+# columns of a .L2 table that are never annotations
+_NON_ANNOT = {"CHR", "SNP", "BP", "CM", "L2D", *EXTRA_COLUMNS}
+
+
+def annotation_columns(score: pd.DataFrame) -> list[str]:
+    """Annotation (per-category LD score) columns of a partitioned .L2
+    table: every column that is not a key/extra column.  A plain
+    single-annotation file yields ``["L2"]``."""
+    annots = [c for c in score.columns if c not in _NON_ANNOT]
+    if not annots:
+        raise ValueError("no LD-score annotation columns found "
+                         "(expected `L2` or per-annotation columns)")
+    return annots
+
+
+def read_m_partitioned(path: str, annots: list[str]) -> np.ndarray:
+    """Read a (1, p) SNP-count row for partitioned scores.
+
+    Accepts either our headered TSV (columns matching the annotation
+    names, or the legacy ``M``/``MD`` pair) or a headerless
+    whitespace-separated row of p numbers (ldsc's ``.l2.M_5_50`` style).
+    """
+    first = pd.read_csv(path, sep=r"\s+", header=None, nrows=1)
+    headerless = all(
+        isinstance(v, (int, float, np.integer, np.floating))
+        for v in first.iloc[0])
+    if headerless:
+        vals = first.iloc[0].to_numpy(dtype=np.float64)
+        if vals.size != len(annots):
+            raise ValueError(
+                f"M file {path} has {vals.size} counts but the .L2 has "
+                f"{len(annots)} annotation columns")
+        return vals.reshape(1, -1)
+    tab = pd.read_csv(path, sep=r"\s+")
+    if len(annots) == 1 and "M" in tab.columns:
+        # legacy single-annotation sidecar (columns M, MD)
+        return tab[["M"]].iloc[0].to_numpy(dtype=np.float64).reshape(1, 1)
+    missing = [a for a in annots if a not in tab.columns]
+    if missing:
+        raise ValueError(f"M file {path} lacks counts for annotations "
+                         f"{missing}")
+    return tab[annots].iloc[0].to_numpy(dtype=np.float64).reshape(1, -1)
+
+
+def read_ld_scores_partitioned(
+    path: str, use_m: bool = False,
+) -> tuple[pd.DataFrame, np.ndarray, list[str]]:
+    """File-or-directory reader for partitioned (multi-annotation) LD
+    scores — the capability the reference declares but never implements
+    (SURVEY Q12).
+
+    Returns ``(scores, M_annot, annot_names)`` where ``scores`` has
+    columns ``SNP`` + one LD-score column per annotation and ``M_annot``
+    is the (1, p) per-annotation SNP-count row summed across files.
+    """
+    p = Path(path)
+    files = sorted(p.glob("*.L2")) if p.is_dir() else [p]
+    if not files:
+        raise FileNotFoundError(f"no *.L2 files in directory {path}")
+    frames, m_tot, annots = [], None, None
+    for f in files:
+        score = read_l2_file(str(f))
+        cur = annotation_columns(score)
+        if annots is None:
+            annots = cur
+        elif cur != annots:
+            raise ValueError(
+                f"annotation columns differ across files: {annots} vs "
+                f"{cur} in {f}")
+        suffix = ".M" if use_m else ".M_5_50"
+        sidecar = f.with_suffix(suffix)
+        if not sidecar.exists() and not use_m:
+            sidecar = f.with_suffix(".M")
+        if sidecar.exists():
+            m = read_m_partitioned(str(sidecar), annots)
+        elif annots == ["L2"]:
+            m = np.array([[len(score)]], dtype=np.float64)
+        else:
+            raise ValueError(
+                f"no .M/.M_5_50 sidecar for partitioned file {f}; "
+                "per-annotation SNP counts cannot be derived from rows")
+        frames.append(score[["SNP", "CHR", "BP", *annots]])
+        m_tot = m if m_tot is None else m_tot + m
+    scores = pd.concat(frames, axis=0).reset_index(drop=True)
+    scores = scores.sort_values(by=["CHR", "BP"])
+    return scores, m_tot, annots
+
+
 def _read_one(path: Path, use_m: bool) -> tuple[pd.DataFrame, int, int]:
     suffix = ".M" if use_m else ".M_5_50"
     sidecar = path.with_suffix(suffix)

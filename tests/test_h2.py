@@ -249,22 +249,37 @@ def test_liability_in_pipeline_summary(tmp_path):
     assert "hsq.liability.std" in out["dominant"]
 
 
-def test_one_stage_strategy_not_implemented(tmp_path):
+def test_one_stage_strategy_recovers_signal():
+    # the reference declares `one-stg` but raises NotImplementedError
+    # (nldsc/h2/routine.py:43-44); we implement it as a joint [L2, L2D]
+    # 2-annotation fit.  Simulate chisq with known additive/dominance h2
+    # and check the joint estimator recovers both partitions.
     import pandas as pd
 
     from nldsc_tpu.config import H2Config
     from nldsc_tpu.h2.pipeline import estimate_h2_frames
 
     rng = np.random.default_rng(2)
-    m = 500
+    m, n_ind = 8000, 50000.0
+    M, MD = 6000, 3000
+    h2_add, h2_dom = 0.4, 0.1
+    l2 = rng.uniform(1, 30, m)
+    l2d = rng.uniform(0.5, 10, m)
+    expect = 1.0 + n_ind * (h2_add * l2 / M + h2_dom * l2d / MD)
+    chisq = expect * rng.chisquare(1, m)
     ld = pd.DataFrame({"SNP": [f"rs{i}" for i in range(m)],
-                       "L2": rng.uniform(1, 10, m),
-                       "L2D": rng.uniform(0, 1, m)})
-    ssf = pd.DataFrame({"SNP": ld["SNP"], "Z": rng.normal(size=m),
-                        "N": 1000.0})
-    cfg = H2Config(strategy="one-stg", n_blocks=10)
-    with pytest.raises(NotImplementedError):
-        estimate_h2_frames(ssf, ld, 400, 200, cfg)
+                       "L2": l2, "L2D": l2d})
+    ssf = pd.DataFrame({"SNP": ld["SNP"], "Z": np.sqrt(chisq),
+                        "N": n_ind})
+    cfg = H2Config(strategy="one-stg", n_blocks=50, chisq_max=1e9)
+    out = estimate_h2_frames(ssf, ld, M, MD, cfg)
+    s = out["summary"]
+    assert s["strategy"] == "one-stg"
+    assert abs(s["additive"]["hsq"] - h2_add) < 4 * s["additive"]["hsq.std"]
+    assert abs(s["dominant"]["hsq"] - h2_dom) < 4 * s["dominant"]["hsq.std"]
+    assert s["additive"]["hsq.std"] > 0 and s["dominant"]["hsq.std"] > 0
+    # the joint fit shares one intercept between partitions
+    assert s["additive"]["intercept"] == s["dominant"]["intercept"]
 
 
 def test_h2_config_validation():
@@ -298,3 +313,79 @@ def test_hsq_partitioned_api(ref_reg):
     np.testing.assert_allclose(np.ravel(ours.proportion.value),
                                np.ravel(ref.proportion.value), rtol=1e-9)
     assert np.asarray(ours.enrichment).shape == (3,)
+
+
+def test_partitioned_reader_and_pipeline(tmp_path):
+    # build a 3-annotation .L2 with per-annotation .M_5_50 sidecar, plus a
+    # separate single-column weights file, and run the partitioned CLI path
+    import pandas as pd
+
+    from nldsc_tpu.h2.pipeline import estimate_h2_partitioned
+    from nldsc_tpu.io.ldscores import read_ld_scores_partitioned
+
+    rng = np.random.default_rng(11)
+    m, n_ind = 6000, 40000.0
+    M = np.array([3000.0, 2000.0, 1000.0])
+    coefs = np.array([0.3 / 3000, 0.15 / 2000, 0.05 / 1000])
+    x = rng.uniform(1, 30, (m, 3))
+    snp = [f"rs{i}" for i in range(m)]
+    ld = pd.DataFrame({"CHR": 22, "SNP": snp, "BP": np.arange(m) * 500,
+                       "base.L2": x[:, 0], "coding.L2": x[:, 1],
+                       "enhancer.L2": x[:, 2]})
+    l2_path = tmp_path / "part.L2"
+    ld.to_csv(l2_path, sep="\t", index=False)
+    pd.DataFrame({"base.L2": [M[0]], "coding.L2": [M[1]],
+                  "enhancer.L2": [M[2]]}).to_csv(
+        l2_path.with_suffix(".M_5_50"), sep="\t", index=False)
+    # weights: plain genome-wide L2
+    w = pd.DataFrame({"CHR": 22, "SNP": snp, "BP": np.arange(m) * 500,
+                      "L2": x.sum(axis=1)})
+    w_path = tmp_path / "w.L2"
+    w.to_csv(w_path, sep="\t", index=False)
+    pd.DataFrame({"M": [m], "MD": [0]}).to_csv(
+        w_path.with_suffix(".M_5_50"), sep="\t", index=False)
+
+    scores, m_annot, annots = read_ld_scores_partitioned(str(l2_path))
+    assert annots == ["base.L2", "coding.L2", "enhancer.L2"]
+    np.testing.assert_allclose(np.ravel(m_annot), M)
+
+    expect = 1.0 + n_ind * (x @ coefs)
+    chisq = np.clip(expect * rng.chisquare(1, m), 1e-8, None)
+    ss = pd.DataFrame({"SNP": snp, "Z": np.sqrt(chisq), "N": n_ind})
+    ss_path = tmp_path / "t.sumstats"
+    ss.to_csv(ss_path, sep="\t", index=False)
+
+    out = estimate_h2_partitioned(
+        str(ss_path), str(l2_path), str(w_path), n_blocks=40,
+        chisq_max=1e9, save_to_json=str(tmp_path / "h2.json"))
+    total_true = 0.3 + 0.15 + 0.05
+    assert abs(out["total"]["hsq"] - total_true) < 4 * out["total"]["hsq.std"]
+    base = out["annotations"]["base.L2"]
+    assert abs(base["hsq"] - 0.3) < 4 * base["hsq.std"]
+    props = [a["prop"] for a in out["annotations"].values()]
+    assert abs(sum(props) - 1.0) < 1e-9
+    assert (tmp_path / "h2.json").exists()
+
+
+def test_partitioned_reader_headerless_m(tmp_path):
+    # ldsc-style headerless .M row of p numbers
+    import pandas as pd
+
+    from nldsc_tpu.io.ldscores import read_ld_scores_partitioned
+
+    rng = np.random.default_rng(3)
+    m = 100
+    ld = pd.DataFrame({"CHR": 1, "SNP": [f"rs{i}" for i in range(m)],
+                       "BP": np.arange(m), "a.L2": rng.uniform(1, 5, m),
+                       "b.L2": rng.uniform(1, 5, m)})
+    p = tmp_path / "x.L2"
+    ld.to_csv(p, sep="\t", index=False)
+    with open(p.with_suffix(".M_5_50"), "w") as f:
+        f.write("70\t30\n")
+    scores, m_annot, annots = read_ld_scores_partitioned(str(p))
+    np.testing.assert_allclose(np.ravel(m_annot), [70.0, 30.0])
+    # mismatched count errors out
+    with open(p.with_suffix(".M_5_50"), "w") as f:
+        f.write("70\t30\t5\n")
+    with pytest.raises(ValueError, match="counts"):
+        read_ld_scores_partitioned(str(p))
