@@ -81,12 +81,18 @@ def main(log_file):
                    "memory footprint)")
 @click.option("--chunk-rows", metavar="R", type=int, default=8192,
               help="Pivot rows per streaming chunk")
-@click.option("--resume", "resume_path", metavar="FILE", default=None,
-              help="Checkpoint file for chunk-granular resume (streaming)")
+@click.option("--resume", "resume_path", metavar="DIR", default=None,
+              help="Checkpoint directory for chunk-granular resume "
+                   "(streaming; one shard file per completed chunk)")
+@click.option("--annot", metavar="FILE", default=None,
+              help="Per-SNP annotation file (SNP column + one column per "
+                   "annotation): compute PARTITIONED LD scores "
+                   "(<name>.L2 / <name>.L2D per annotation)")
 @click.option("--display", is_flag=True, default=False, help="Display traceback")
 @handle_exception
 def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
-           extra, block_size, pallas, streaming, chunk_rows, resume_path):
+           extra, block_size, pallas, streaming, chunk_rows, resume_path,
+           annot):
     if sum(map(bool, [ld_wind_kb, ld_wind_cm])) != 1:
         raise RuntimeError("Please, specify exactly one --ld-wind option")
     if ld_wind_kb:
@@ -102,6 +108,7 @@ def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
         out=out, extra=extra, summary=True,
         block_size=block_size, use_pallas=pallas,
         streaming=streaming, chunk_rows=chunk_rows, resume_path=resume_path,
+        annot=annot,
     )
     if df is not None and out is None:
         click.echo(df.to_string(max_rows=40))

@@ -56,14 +56,23 @@ def calculate(params: LDScoreParams, **engine_kwargs) -> LDScoreResult:
     """
     reader = BedReader(params.bfile, n_snp=params.n_snp,
                        n_samples=params.n_org)
-    genotypes = reader.read_all()
     positions = np.asarray(params.positions, dtype=np.float64)
     # the reference C++ layer is metric-agnostic (positions already carry
     # bp or cM); 'bp' has the wider validation bound so cM windows pass too
     config = LDConfig(ld_wind=params.ld_wind, wind_metric="bp",
                       maf_thr=params.maf, std_thr=params.std_thr,
                       rsq_thr=params.rsq_thr, **engine_kwargs)
-    res = compute_ld_scores(genotypes, positions, config)
+    # route big inputs through the out-of-core engine instead of holding
+    # the whole dense working set in HBM (same policy as estimate_lds)
+    from .ld.pipeline import STREAMING_BYTES_THRESHOLD  # noqa: PLC0415
+
+    dense_bytes = 2 * 4 * params.n_snp * (-(-params.n_org // 128) * 128)
+    if dense_bytes > STREAMING_BYTES_THRESHOLD:
+        from .ld.streaming import compute_ld_scores_streaming  # noqa: PLC0415
+
+        res = compute_ld_scores_streaming(reader, positions, config)
+    else:
+        res = compute_ld_scores(reader.read_all(), positions, config)
     return LDScoreResult(
         l2=list(res["l2"]), l2d=list(res["l2d"]), maf=list(res["maf"]),
         residuals_std=list(res["residuals_std"]),

@@ -119,15 +119,82 @@ def read_ld_scores(path: str, use_m: bool = False) -> tuple[pd.DataFrame, int, i
     return _read_one(p, use_m)
 
 
+def read_annot(path: str, bim: pd.DataFrame) -> tuple[np.ndarray, list[str]]:
+    """Read a per-SNP annotation file for partitioned LD computation.
+
+    Whitespace/tab-separated with a ``SNP`` column plus one column per
+    annotation (continuous values allowed; ``CHR``/``BP``/``CM``/``A1``/
+    ``A2`` key columns are ignored) — the ldsc ``.annot`` convention.
+    Rows are aligned to the bim's SNP order; SNPs absent from the file get
+    all-zero annotation rows (they still contribute nothing to any
+    category but receive scores from annotated neighbors).
+
+    Returns (annot float64 (M, p), annotation names).
+    """
+    tab = pd.read_csv(path, sep=r"\s+")
+    if "SNP" not in tab.columns:
+        raise ValueError(f"annotation file {path} needs a SNP column")
+    names = [c for c in tab.columns
+             if c not in {"CHR", "BP", "CM", "SNP", "A1", "A2"}]
+    if not names:
+        raise ValueError(f"annotation file {path} has no annotation columns")
+    tab = tab.drop_duplicates(subset="SNP")
+    merged = bim[["SNP"]].merge(tab[["SNP", *names]], on="SNP", how="left")
+    vals = merged[names].to_numpy(dtype=np.float64)
+    n_missing = int((~bim["SNP"].isin(tab["SNP"])).sum())
+    if n_missing:
+        log.warning("%d of %d bim SNPs absent from %s; their annotation "
+                    "rows are set to 0", n_missing, len(bim), path)
+    return np.nan_to_num(vals, nan=0.0), names
+
+
+def make_output_annot(bim: pd.DataFrame, result: dict,
+                      names: list[str]) -> pd.DataFrame:
+    """Assemble a partitioned .L2 DataFrame: per-annotation additive
+    (``<name>.L2``) and dominance (``<name>.L2D``) score columns."""
+    data = {
+        "CHR": bim["CHR"].to_numpy(),
+        "SNP": bim["SNP"].to_numpy(),
+        "BP": bim["BP"].to_numpy(),
+    }
+    for k, name in enumerate(names):
+        data[f"{name}.L2"] = result["l2_annot"][:, k]
+    for k, name in enumerate(names):
+        data[f"{name}.L2D"] = result["l2d_annot"][:, k]
+    return pd.DataFrame(data)
+
+
+def write_m_files_annot(result: dict, annot: np.ndarray, names: list[str],
+                        l2_path: str) -> None:
+    """Per-annotation .M / .M_5_50 sidecars (columns named ``<name>.L2``
+    to match the partitioned .L2's annotation columns).
+
+    Follows the LDSC convention M_k = Σ_i annot[i, k] over usable SNPs
+    (all, and MAF > 5% for .M_5_50)."""
+    base = Path(l2_path)
+    l2 = np.asarray(result["l2"], dtype=np.float64)
+    maf = np.asarray(result["maf"], dtype=np.float64)
+    usable = ~np.isnan(l2)
+    for suffix, floor in ((".M", None), (".M_5_50", 0.05)):
+        sel = usable if floor is None else usable & (maf > floor)
+        counts = annot[sel].sum(axis=0)
+        pd.DataFrame({f"{n}.L2": [c] for n, c in zip(names, counts)}).to_csv(
+            base.with_suffix(suffix), sep="\t", index=False)
+    log.info("Wrote per-annotation SNP counts: %s / %s",
+             base.with_suffix(".M"), base.with_suffix(".M_5_50"))
+
+
 # columns of a .L2 table that are never annotations
 _NON_ANNOT = {"CHR", "SNP", "BP", "CM", "L2D", *EXTRA_COLUMNS}
 
 
 def annotation_columns(score: pd.DataFrame) -> list[str]:
     """Annotation (per-category LD score) columns of a partitioned .L2
-    table: every column that is not a key/extra column.  A plain
-    single-annotation file yields ``["L2"]``."""
-    annots = [c for c in score.columns if c not in _NON_ANNOT]
+    table: every column that is not a key/extra column (per-annotation
+    dominance columns ``*.L2D`` are carried but are not regression
+    annotations).  A plain single-annotation file yields ``["L2"]``."""
+    annots = [c for c in score.columns
+              if c not in _NON_ANNOT and not c.endswith(".L2D")]
     if not annots:
         raise ValueError("no LD-score annotation columns found "
                          "(expected `L2` or per-annotation columns)")

@@ -127,6 +127,98 @@ def ld_scores_xla(add, res, lo, hi, usable, dom_ok, add_sd_zero, blk_lo,
                             usable, add_sd_zero)
 
 
+@partial(jax.jit, static_argnames=("block_size", "band_k", "n_samples",
+                                   "precision"))
+def ld_scores_xla_annot(add, res, lo, hi, usable, dom_ok, add_sd_zero, blk_lo,
+                        blk_hi, rsq_thr, annot, *, block_size: int,
+                        band_k: int, n_samples: int,
+                        precision: str = "highest"):
+    """Partitioned (per-annotation) banded LD pass.
+
+    Like :func:`ld_scores_xla` but each pair's adjusted r² is credited to
+    annotation categories via the neighbor's annotation row: the tile's
+    masked r² matrix is contracted with the band's annotation slab —
+    ``(B, band) @ (band, p)`` — one extra skinny MXU matmul per tile.
+    The reference declares partitioned LD and never implements it
+    (SURVEY Q12); there is no reference semantic to match, so we follow
+    the standard LDSC convention: continuous annotation values allowed,
+    the self pair contributes ``annot[i, k] * 1.0`` to L2ₖ[i] (and 0 to
+    the dominance scores, mirroring the unpartitioned self-terms).
+
+    annot : f32 (M_pad, p); padding rows must be 0.
+
+    Returns (l2_annot (M_pad, p), l2d_annot (M_pad, p), l2, l2d, ws, wsd,
+    wse) — the last five identical to :func:`ld_scores_xla`'s outputs.
+    """
+    m_pad = add.shape[0]
+    n_blocks = m_pad // block_size
+    B = block_size
+    band_rows = min(band_k * B, m_pad)
+    n = jnp.float32(n_samples)
+    adj_c = (n - 1.0) / (n - 2.0)
+
+    def pivot_block(b):
+        r0 = b * B
+        ya = lax.dynamic_slice_in_dim(add, r0, B, axis=0)
+        gi = r0 + jnp.arange(B, dtype=jnp.int32)
+        lo_i = lax.dynamic_slice_in_dim(lo, r0, B)
+        hi_i = lax.dynamic_slice_in_dim(hi, r0, B)
+        usable_i = lax.dynamic_slice_in_dim(usable, r0, B)
+
+        j0 = jnp.clip(blk_lo[b] * B, 0, m_pad - band_rows)
+        za = lax.dynamic_slice_in_dim(add, j0, band_rows, axis=0)
+        zr = lax.dynamic_slice_in_dim(res, j0, band_rows, axis=0)
+        aj = lax.dynamic_slice_in_dim(annot, j0, band_rows, axis=0)
+        gj = j0 + jnp.arange(band_rows, dtype=jnp.int32)
+        usable_j = lax.dynamic_slice_in_dim(usable, j0, band_rows)
+        dom_ok_j = lax.dynamic_slice_in_dim(dom_ok, j0, band_rows)
+        poison_j = lax.dynamic_slice_in_dim(add_sd_zero, j0, band_rows)
+
+        c_add = jnp.dot(ya, za.T, precision=precision,
+                        preferred_element_type=jnp.float32)
+        c_dom = jnp.dot(ya, zr.T, precision=precision,
+                        preferred_element_type=jnp.float32)
+
+        r_add = c_add / n
+        adj_add = 1.0 - (1.0 - r_add * r_add) * adj_c
+        r_dom = c_dom / n
+        adj_dom = 1.0 - (1.0 - r_dom * r_dom) * adj_c
+
+        in_win = (gj[None, :] >= lo_i[:, None]) & (gj[None, :] <= hi_i[:, None])
+        pair = in_win & usable_j[None, :] & usable_i[:, None]
+        base = pair & (gj[None, :] != gi[:, None])
+        dmask = base & dom_ok_j[None, :]
+        basef = base.astype(jnp.float32)
+        dmaskf = dmask.astype(jnp.float32)
+
+        l2_annot = jnp.dot(adj_add * basef, aj, precision=precision,
+                           preferred_element_type=jnp.float32)
+        l2d_annot = jnp.dot(adj_dom * dmaskf, aj, precision=precision,
+                            preferred_element_type=jnp.float32)
+        l2_part = jnp.sum(adj_add * basef, axis=1)
+        l2d_part = jnp.sum(adj_dom * dmaskf, axis=1)
+        ws = jnp.sum(base, axis=1).astype(jnp.int32)
+        wsd = jnp.sum(dmask, axis=1).astype(jnp.int32)
+        wse = jnp.sum((adj_dom > rsq_thr) & dmask, axis=1).astype(jnp.int32)
+        poison = jnp.sum(pair & poison_j[None, :], axis=1).astype(jnp.int32)
+        return l2_annot, l2d_annot, l2_part, l2d_part, ws, wsd, wse, poison
+
+    accs = lax.map(pivot_block, jnp.arange(n_blocks, dtype=jnp.int32))
+    p = annot.shape[1]
+    l2_a, l2d_a = (a.reshape(m_pad, p) for a in accs[:2])
+    l2_acc, l2d_acc, ws, wsd, wse, poison = (
+        a.reshape(m_pad) for a in accs[2:])
+    l2, l2d, ws_o, wsd_o, wse_o = finalize_outputs(
+        l2_acc, l2d_acc, ws, wsd, wse, poison, usable, add_sd_zero)
+    nan = jnp.float32(jnp.nan)
+    good = (usable & (poison == 0))[:, None]
+    l2_a = jnp.where(good, annot + l2_a, nan)           # + self term
+    l2d_bad = jnp.where(wsd > 0, nan, 0.0)[:, None]
+    l2d_a = jnp.where(usable[:, None],
+                      jnp.where(add_sd_zero[:, None], l2d_bad, l2d_a), nan)
+    return l2_a, l2d_a, l2, l2d, ws_o, wsd_o, wse_o
+
+
 @partial(jax.jit, static_argnames=("block_size", "band_k", "right_k",
                                    "n_samples", "precision"))
 def ld_scores_xla_sym(add, res, lo, hi, usable, dom_ok, add_sd_zero, blk_lo,

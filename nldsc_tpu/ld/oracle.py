@@ -183,3 +183,48 @@ def oracle_ld(genotypes: np.ndarray, positions: np.ndarray, ld_wind: float,
         "residuals_std": pre.residuals_sd,
         "l2_ws": ws, "l2d_ws": wsd, "l2d_wse": wse,
     }
+
+
+def oracle_ld_annot(genotypes: np.ndarray, positions: np.ndarray,
+                    ld_wind: float, maf_thr: float, std_thr: float,
+                    annot: np.ndarray) -> dict:
+    """Brute-force PARTITIONED LD scores (float64 truth for the annot engine).
+
+    Per-pair semantics identical to :func:`oracle_ld`; each neighbor's
+    adjusted r² is weighted by its annotation row, and the self term
+    contributes ``annot[i, k] * 1.0`` to ``l2_annot[i, k]`` (dominance self
+    term is 0).  ``annot``: float64 (M, p), continuous values allowed.
+
+    Returns dict with ``l2_annot`` and ``l2d_annot`` (M, p) float64, NaN
+    where the unpartitioned scores are NaN.
+    """
+    codes = np.asarray(genotypes)
+    m, n = codes.shape
+    annot = np.asarray(annot, dtype=np.float64)
+    positions = np.asarray(positions, dtype=np.float64)
+    pre = preprocess(codes, positions, maf_thr)
+    p = annot.shape[1]
+    l2_a = np.full((m, p), np.nan)
+    l2d_a = np.full((m, p), np.nan)
+    adj_c = (n - 1) / (n - 2)
+    for i in range(m):
+        if not pre.usable[i]:
+            continue
+        in_win = np.abs(positions - positions[i]) <= ld_wind
+        nbr = in_win & pre.usable
+        nbr[i] = False
+        idx = np.flatnonzero(nbr)
+        y = pre.add_std[i]
+        if not (pre.add_sd_zero[i] or np.any(pre.add_sd_zero[idx])):
+            r_add = (pre.add_std[idx] @ y) / n
+            terms = 1.0 - (1.0 - r_add**2) * adj_c
+            l2_a[i] = annot[i] + terms @ annot[idx]
+        dom_sel = pre.residuals_sd[idx] > std_thr
+        dom_idx = idx[dom_sel]
+        if pre.add_sd_zero[i]:
+            l2d_a[i] = np.nan if len(dom_idx) > 0 else 0.0
+        else:
+            r_dom = (pre.res_std[dom_idx] @ y) / n
+            dom_terms = 1.0 - (1.0 - r_dom**2) * adj_c
+            l2d_a[i] = dom_terms @ annot[dom_idx]
+    return {"l2_annot": l2_a, "l2d_annot": l2d_a}

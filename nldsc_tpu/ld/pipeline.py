@@ -146,6 +146,52 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
     return to_host_result(l2, l2d, ws, wsd, wse, pre["maf"], pre["rstd"], m)
 
 
+def compute_ld_scores_annot(genotypes: np.ndarray, positions: np.ndarray,
+                            annot: np.ndarray, config: LDConfig, *,
+                            device=None) -> dict:
+    """Partitioned LD scores for an in-core genotype matrix.
+
+    Like :func:`compute_ld_scores` plus an ``annot`` float64 (M, p) matrix;
+    returns the standard result dict extended with ``l2_annot`` and
+    ``l2d_annot`` (M, p) float64 arrays.  Uses the f32 XLA engine (the
+    annotation contraction is one extra skinny matmul per tile).
+    """
+    m, n = genotypes.shape
+    B = config.block_size
+    m_pad = -(-m // B) * B
+    n_pad = -(-n // 128) * 128
+
+    lo, hi, pos_ok = windows.window_bounds(positions, config.ld_wind)
+    blk_lo, blk_hi, band_k = windows.band_blocks(lo, hi, B, m_pad // B)
+
+    g = _pad_to(genotypes.astype(np.int8), m_pad, -1)
+    if n_pad != n:
+        g = np.concatenate(
+            [g, np.full((m_pad, n_pad - n), -1, dtype=np.int8)], axis=1)
+    pos_ok_pad = _pad_to(pos_ok, m_pad, False)
+    lo_pad = _pad_to(lo, m_pad, np.int32(m_pad))
+    hi_pad = _pad_to(hi, m_pad, np.int32(-1))
+    a_pad = _pad_to(np.asarray(annot, dtype=np.float32), m_pad, 0.0)
+
+    g_dev = jnp.asarray(g, device=device)
+    pre = preprocess.preprocess_block(
+        g_dev, jnp.asarray(pos_ok_pad), jnp.float32(config.maf_thr),
+        n_samples=n)
+    dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
+
+    l2_a, l2d_a, l2, l2d, ws, wsd, wse = ld_xla.ld_scores_xla_annot(
+        pre["add"], pre["res"], jnp.asarray(lo_pad), jnp.asarray(hi_pad),
+        pre["usable"], dom_ok, pre["add_sd_zero"],
+        jnp.asarray(blk_lo), jnp.asarray(blk_hi),
+        jnp.float32(config.rsq_thr), jnp.asarray(a_pad),
+        block_size=B, band_k=band_k, n_samples=n,
+        precision=config.matmul_precision)
+    out = to_host_result(l2, l2d, ws, wsd, wse, pre["maf"], pre["rstd"], m)
+    out["l2_annot"] = np.asarray(l2_a, dtype=np.float64)[:m]
+    out["l2d_annot"] = np.asarray(l2d_a, dtype=np.float64)[:m]
+    return out
+
+
 def show_summary(result: dict) -> str:
     """Post-run sanity summary (reference show_summary, routine.py:15-29)."""
     data = pd.DataFrame({"L2": result["l2"], "L2D": result["l2d"],
@@ -186,6 +232,7 @@ def estimate_lds(
     resume_path: str | None = None,
     n_devices: int | None = None,
     profile_dir: str | None = None,
+    annot: str | None = None,
     verbose: int = 0,  # accepted for reference API drop-in compatibility
 ) -> pd.DataFrame | None:
     """Estimate additive + dominance LD scores from a PLINK bfile.
@@ -221,6 +268,28 @@ def estimate_lds(
             else contextlib.nullcontext())
     t0 = time.time()
     with prof:
+        if annot is not None:
+            from ..io.ldscores import (  # noqa: PLC0415
+                make_output_annot, read_annot, write_m_files_annot)
+
+            annot_mat, annot_names = read_annot(annot, ds.bim)
+            log.info("Running the TPU LD estimator (partitioned, %d "
+                     "annotations)...", len(annot_names))
+            genotypes = ds.bed.read_all()
+            result = compute_ld_scores_annot(
+                genotypes, positions, annot_mat, config)
+            dt = time.time() - t0
+            log.info("Estimation completed: %d SNPs in %.2fs (%.0f SNPs/s)",
+                     ds.n_snp, dt, ds.n_snp / max(dt, 1e-9))
+            if summary:
+                show_summary(result)
+            out_df = make_output_annot(ds.bim, result, annot_names)
+            if out:
+                write_l2(out_df, out)
+                if write_m:
+                    write_m_files_annot(result, annot_mat, annot_names, out)
+                return None
+            return out_df
         if streaming:
             from .streaming import compute_ld_scores_streaming  # noqa: PLC0415
 

@@ -159,8 +159,6 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     m, n = bed.n_snp, bed.n_samples
     B = config.block_size
     chunk_rows = max(B, (chunk_rows // B) * B)
-    if resume_path and not resume_path.endswith(".npz"):
-        resume_path += ".npz"  # np.savez appends it on write
     m_pad = -(-m // B) * B
     n_pad = -(-n // 128) * 128
 
@@ -190,13 +188,39 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     for k in ("l2_ws", "l2d_ws", "l2d_wse"):
         out[k] = np.full(m_ext, -1, dtype=np.int64)
 
+    # checkpoint = a DIRECTORY of per-chunk shard files: each completed
+    # chunk is written exactly once (atomic tmp+rename), so total
+    # checkpoint IO is O(M) regardless of chunk count, and a crashed run
+    # loses at most the in-flight chunk
     done = set()
-    if resume_path and os.path.exists(resume_path):
-        saved = np.load(resume_path, allow_pickle=True)
-        done = set(int(c) for c in saved["chunks"])
-        for k in out:
-            out[k] = saved[k]
-        log.info("Resuming: %d chunks already complete", len(done))
+    ck_dir = None
+    if resume_path:
+        import json  # noqa: PLC0415
+        from pathlib import Path  # noqa: PLC0415
+
+        ck_dir = Path(resume_path)
+        ck_dir.mkdir(parents=True, exist_ok=True)
+        meta = {"m": m, "n": n, "chunk_rows": chunk_rows, "block_size": B,
+                "ld_wind": float(config.ld_wind)}
+        meta_path = ck_dir / "meta.json"
+        if meta_path.exists():
+            saved_meta = json.loads(meta_path.read_text())
+            if saved_meta != meta:
+                raise ValueError(
+                    f"checkpoint {ck_dir} was written with different "
+                    f"parameters ({saved_meta} != {meta}); use a fresh "
+                    "checkpoint directory")
+        else:
+            meta_path.write_text(json.dumps(meta))
+        for f in sorted(ck_dir.glob("chunk_*.npz")):
+            ci = int(f.stem.split("_")[1])
+            saved = np.load(f)
+            c0, c1 = ci * chunk_rows, (ci + 1) * chunk_rows
+            for k in out:
+                out[k][c0:c1] = saved[k]
+            done.add(ci)
+        if done:
+            log.info("Resuming: %d chunks already complete", len(done))
 
     def read_band(ci):
         """Host-side decode of chunk ci's window band (prefetch thread)."""
@@ -278,12 +302,10 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
         out["l2d_wse"][p0:p1] = wse
 
         done.add(ci)
-        # checkpoint writes rewrite all outputs (O(M)); amortize over ~20
-        # saves per run, plus always after the final chunk
-        save_every = max(1, len(todo) // 20)
-        if resume_path and (idx % save_every == save_every - 1
-                            or idx == len(todo) - 1):
-            np.savez(resume_path, chunks=np.array(sorted(done)), **out)
+        if ck_dir is not None:
+            tmp = ck_dir / f".tmp_chunk_{ci:06d}.npz"  # savez wants .npz
+            np.savez(tmp, **{k: out[k][p0:p1] for k in out})
+            os.replace(tmp, ck_dir / f"chunk_{ci:06d}.npz")
         log.info("chunk %d/%d done (rows %d..%d, band %d rows)",
                  ci + 1, n_chunks, p0, p1, band_rows)
 

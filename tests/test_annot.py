@@ -1,0 +1,120 @@
+"""Partitioned (per-annotation) LD score tests: engine vs float64 oracle,
+plus the end-to-end annot -> partitioned .L2 -> partitioned h2 chain.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from nldsc_tpu.config import LDConfig
+from nldsc_tpu.ld.oracle import oracle_ld, oracle_ld_annot
+from nldsc_tpu.ld.pipeline import compute_ld_scores_annot
+from utils import make_positions, random_genotypes
+
+WIND, MAF, STD = 12000.0, 0.01, 1e-4
+
+
+def _setup(rng, m=700, n=300, p=3, missing_rate=0.02):
+    g = random_genotypes(rng, m, n, missing_rate=missing_rate)
+    pos = make_positions(m, spacing=600, jitter_rng=rng).astype(np.float64)
+    # mix binary and continuous annotations; first is the all-ones base
+    annot = np.column_stack([
+        np.ones(m),
+        (rng.random(m) < 0.3).astype(np.float64),
+        rng.uniform(0, 2, m),
+    ])[:, :p]
+    return g, pos, annot
+
+
+def test_annot_engine_matches_oracle():
+    rng = np.random.default_rng(42)
+    g, pos, annot = _setup(rng)
+    config = LDConfig(ld_wind=WIND, wind_metric="bp", maf_thr=MAF,
+                      std_thr=STD, rsq_thr=1e-3, block_size=128)
+    res = compute_ld_scores_annot(g, pos, annot, config)
+    ora = oracle_ld_annot(g, pos, WIND, MAF, STD, annot)
+    np.testing.assert_allclose(res["l2_annot"], ora["l2_annot"],
+                               rtol=2e-5, atol=2e-4, equal_nan=True)
+    np.testing.assert_allclose(res["l2d_annot"], ora["l2d_annot"],
+                               rtol=2e-5, atol=2e-4, equal_nan=True)
+    # base (all-ones) annotation reproduces the unpartitioned scores
+    base = oracle_ld(g, pos, WIND, MAF, STD, 1e-3)
+    np.testing.assert_allclose(res["l2_annot"][:, 0], base["l2"],
+                               rtol=2e-5, atol=2e-4, equal_nan=True)
+    np.testing.assert_allclose(res["l2d_annot"][:, 0], base["l2d"],
+                               rtol=2e-5, atol=2e-4, equal_nan=True)
+    # ... and the unpartitioned outputs ride along unchanged
+    np.testing.assert_allclose(res["l2"], base["l2"], rtol=2e-5, atol=2e-4,
+                               equal_nan=True)
+    np.testing.assert_array_equal(res["l2_ws"], base["l2_ws"])
+
+
+def test_annot_engine_skip_sentinels():
+    rng = np.random.default_rng(43)
+    g, pos, annot = _setup(rng, m=400)
+    pos[50:60] = -1.0  # skip sentinel
+    config = LDConfig(ld_wind=WIND, wind_metric="bp", maf_thr=MAF,
+                      std_thr=STD, rsq_thr=1e-3, block_size=64)
+    res = compute_ld_scores_annot(g, pos, annot, config)
+    ora = oracle_ld_annot(g, pos, WIND, MAF, STD, annot)
+    np.testing.assert_allclose(res["l2_annot"], ora["l2_annot"],
+                               rtol=2e-5, atol=2e-4, equal_nan=True)
+    assert np.isnan(res["l2_annot"][50:60]).all()
+
+
+def test_annot_end_to_end_files(tmp_path):
+    # write a bfile + annot file, run the partitioned ld CLI path, feed the
+    # partitioned .L2 into the partitioned h2 pipeline
+    from nldsc_tpu.h2.pipeline import estimate_h2_partitioned
+    from nldsc_tpu.io.plink import write_plink
+    from nldsc_tpu.ld.pipeline import estimate_lds
+
+    rng = np.random.default_rng(7)
+    m, n = 600, 400
+    g, pos, annot = _setup(rng, m=m, n=n, missing_rate=0.0)
+    prefix = str(tmp_path / "toy")
+    write_plink(prefix, g, bp=pos.astype(np.int64))
+    snp = [f"snp{i}" for i in range(m)]  # write_plink names: check bim
+    bim = pd.read_csv(prefix + ".bim", sep="\t", header=None)
+    snp = bim[1].tolist()
+    annot_df = pd.DataFrame({"SNP": snp, "base": annot[:, 0],
+                             "cat": annot[:, 1], "cont": annot[:, 2]})
+    annot_path = str(tmp_path / "toy.annot")
+    annot_df.to_csv(annot_path, sep="\t", index=False)
+
+    out = str(tmp_path / "toy.L2")
+    estimate_lds(prefix, ld_wind=12000, wind_metric="bp", maf_thr=MAF,
+                 std_thr=STD, out=out, annot=annot_path, block_size=128)
+
+    df = pd.read_csv(out, sep="\t")
+    assert {"base.L2", "cat.L2", "cont.L2", "base.L2D"} <= set(df.columns)
+    m_side = pd.read_csv(str(tmp_path / "toy.M_5_50"), sep="\t")
+    assert set(m_side.columns) == {"base.L2", "cat.L2", "cont.L2"}
+    assert m_side["base.L2"].iloc[0] >= m_side["cat.L2"].iloc[0]
+
+    # partitioned h2 consumes it (smoke: runs and returns all annotations)
+    zs = rng.normal(size=m)
+    ss = pd.DataFrame({"SNP": snp, "Z": zs, "N": 10000.0})
+    ss_path = str(tmp_path / "toy.sumstats")
+    ss.to_csv(ss_path, sep="\t", index=False)
+    summary = estimate_h2_partitioned(ss_path, out, out, n_blocks=20,
+                                      chisq_max=1e9)
+    assert set(summary["annotations"]) == {"base.L2", "cat.L2", "cont.L2"}
+
+
+def test_read_annot_alignment(tmp_path):
+    from nldsc_tpu.io.ldscores import read_annot
+
+    bim = pd.DataFrame({"SNP": ["a", "b", "c"]})
+    # shuffled order + an extra SNP not in bim + one bim SNP missing
+    tab = pd.DataFrame({"SNP": ["c", "x", "a"], "CHR": 1,
+                        "k1": [3.0, 9.0, 1.0], "k2": [30.0, 90.0, 10.0]})
+    path = str(tmp_path / "t.annot")
+    tab.to_csv(path, sep="\t", index=False)
+    vals, names = read_annot(path, bim)
+    assert names == ["k1", "k2"]
+    np.testing.assert_allclose(vals, [[1.0, 10.0], [0.0, 0.0], [3.0, 30.0]])
+    with pytest.raises(ValueError, match="SNP column"):
+        bad = str(tmp_path / "bad.annot")
+        tab.drop(columns="SNP").to_csv(bad, sep="\t", index=False)
+        read_annot(bad, bim)

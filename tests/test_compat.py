@@ -43,3 +43,34 @@ def test_positions_sentinel_via_compat(tmp_path, rng):
     res = calculate(params, block_size=16)
     assert np.isnan(res.l2[5]) and np.isnan(res.maf[5])
     assert res.l2_ws[5] == -1
+
+
+def test_calculate_routes_big_inputs_to_streaming(tmp_path, rng, monkeypatch):
+    # shrink the threshold so this toy input takes the out-of-core path,
+    # and check results are unchanged
+    import nldsc_tpu.ld.pipeline as ld_pipeline
+
+    m, n = 96, 70
+    g = random_genotypes(rng, m, n, missing_rate=0.02)
+    bp = make_positions(m, spacing=700)
+    prefix = write_plink(tmp_path / "big", g, bp=bp.astype(np.int64))
+    params = LDScoreParams(bfile=prefix + ".bed", n_snp=m, n_org=n,
+                           ld_wind=4000.0, maf=0.01, std_thr=1e-4,
+                           rsq_thr=1e-3, positions=list(bp))
+    dense = calculate(params, block_size=16)
+
+    called = {}
+    import nldsc_tpu.ld.streaming as streaming_mod
+    orig = streaming_mod.compute_ld_scores_streaming
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(streaming_mod, "compute_ld_scores_streaming", spy)
+    monkeypatch.setattr(ld_pipeline, "STREAMING_BYTES_THRESHOLD", 1)
+    streamed = calculate(params, block_size=16)
+    assert called.get("yes")
+    np.testing.assert_allclose(np.array(streamed.l2), np.array(dense.l2),
+                               rtol=3e-6, atol=3e-6, equal_nan=True)
+    np.testing.assert_array_equal(streamed.l2d_ws, dense.l2d_ws)

@@ -66,18 +66,24 @@ def test_streaming_resume(tmp_path, rng):
     g, pos, bed = _setup(tmp_path, rng)
     cfg = LDConfig(ld_wind=5000, wind_metric="bp", maf_thr=0.01,
                    std_thr=1e-4, rsq_thr=1e-3, block_size=16)
-    resume = str(tmp_path / "ck.npz")
+    resume = str(tmp_path / "ckpt")
     full = compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg,
                                        chunk_rows=64, resume_path=resume)
 
-    # simulate a partial run: drop the last two chunks from the checkpoint
-    saved = dict(np.load(resume, allow_pickle=True))
-    chunks = saved.pop("chunks")
-    partial = {k: v.copy() for k, v in saved.items()}
-    for k in ("l2", "l2d"):
-        partial[k][-100:] = np.nan
-    np.savez(resume, chunks=chunks[:-2], **partial)
+    # per-chunk shard files + meta were written
+    import os
+    shards = sorted(f for f in os.listdir(resume) if f.startswith("chunk_"))
+    assert len(shards) >= 2 and os.path.exists(os.path.join(resume, "meta.json"))
 
+    # simulate a partial run: delete the last two chunk shards
+    for f in shards[-2:]:
+        os.remove(os.path.join(resume, f))
     resumed = compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg,
                                           chunk_rows=64, resume_path=resume)
     _assert_same(resumed, full)
+
+    # a geometry mismatch is rejected instead of silently mixing shards
+    import pytest
+    with pytest.raises(ValueError, match="different parameters"):
+        compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg,
+                                    chunk_rows=128, resume_path=resume)
