@@ -238,6 +238,146 @@ def ld_scores_int8(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi, usable,
                             usable, add_sd_zero)
 
 
+@partial(jax.jit, static_argnames=("block_size", "right_k", "n_samples",
+                                   "has_missing", "dot_dtype"))
+def ld_scores_int8_sym2(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi,
+                        usable, dom_ok, add_sd_zero, blk_lo, blk_hi, rsq_thr,
+                        *, block_size: int, right_k: int, n_samples: int,
+                        has_missing: bool, dot_dtype: str = "bf16"):
+    """Two-pass symmetry-exploiting integer engine (no scan carry).
+
+    Same pair algebra as :func:`ld_scores_int8_sym` (right half-band,
+    bidirectional credit) but restructured to avoid the sequential
+    ``lax.scan`` + full-length scatter carry that serializes that engine:
+
+      pass 1 — ``lax.map`` over pivot blocks, each returning its ROW sums
+               (B,) and its COLUMN-credit vectors (right_rows,) for the
+               mirrored pairs; iterations carry nothing;
+      pass 2 — one batched scatter-add folds all column-credit vectors at
+               their block offsets (O(n_blocks · right_rows) VPU work).
+
+    Matmul flops match the one-pass symmetric engine: 3 half-band integer
+    matmuls per tile without missing data, 8 with.
+    """
+    m_pad, n_pad_cols = g.shape
+    assert n_pad_cols <= (1 << 22)
+    n_blocks = m_pad // block_size
+    B = block_size
+    right_rows = min(right_k * B, m_pad)
+    n = jnp.float32(n_samples)
+    n_padf = jnp.float32(n_pad_cols)
+    adj_c = (n - 1.0) / (n - 2.0)
+    idot = make_idot(dot_dtype)
+
+    def sl(v, at, size):
+        return lax.dynamic_slice_in_dim(v, at, size)
+
+    def pivot_block(b):
+        r0 = b * B
+        gi = r0 + jnp.arange(B, dtype=jnp.int32)
+        g_i = lax.dynamic_slice_in_dim(g, r0, B, axis=0)
+        m_i = lax.dynamic_slice_in_dim(m, r0, B, axis=0)
+        h_i = lax.dynamic_slice_in_dim(h, r0, B, axis=0)
+        lo_i = sl(lo, r0, B)[:, None]
+        hi_i = sl(hi, r0, B)[:, None]
+        usable_i = sl(usable, r0, B)[:, None]
+        poison_i = sl(add_sd_zero, r0, B)[:, None]
+        dom_ok_i = sl(dom_ok, r0, B)[:, None]
+        am_i = sl(am, r0, B)[:, None]
+        dm_i = sl(dm, r0, B)[:, None]
+        slope_i = sl(slope, r0, B)[:, None]
+        inv_sd_i = sl(inv_sd, r0, B)[:, None]
+        inv_rstd_i = sl(inv_rstd, r0, B)[:, None]
+
+        j0 = jnp.minimum(r0, m_pad - right_rows)
+        gj = j0 + jnp.arange(right_rows, dtype=jnp.int32)
+        g_j = lax.dynamic_slice_in_dim(g, j0, right_rows, axis=0)
+        m_j = lax.dynamic_slice_in_dim(m, j0, right_rows, axis=0)
+        h_j = lax.dynamic_slice_in_dim(h, j0, right_rows, axis=0)
+        usable_j = sl(usable, j0, right_rows)[None, :]
+        poison_j = sl(add_sd_zero, j0, right_rows)[None, :]
+        dom_ok_j = sl(dom_ok, j0, right_rows)[None, :]
+        am_j = sl(am, j0, right_rows)[None, :]
+        dm_j = sl(dm, j0, right_rows)[None, :]
+        slope_j = sl(slope, j0, right_rows)[None, :]
+        inv_sd_j = sl(inv_sd, j0, right_rows)[None, :]
+        inv_rstd_j = sl(inv_rstd, j0, right_rows)[None, :]
+
+        sgg = idot(g_i, g_j)
+        sgh = idot(g_i, h_j)
+        shg = idot(h_i, g_j)
+        if has_missing:
+            sgm = idot(g_i, m_j)
+            smg = idot(m_i, g_j)
+            smm = idot(m_i, m_j)
+            smh = idot(m_i, h_j)
+            shm = idot(h_i, m_j)
+            a_dot = sgg + am_j * sgm + am_i * smg + am_i * am_j * smm
+            dA = sgh + dm_j * sgm + am_i * smh + am_i * dm_j * smm
+            dB = shg + am_j * shm + dm_i * smg + dm_i * am_j * smm
+        else:
+            pad_miss = jnp.float32(n_pad_cols - n_samples)
+            a_dot = sgg + am_i * am_j * pad_miss
+            dA = sgh + am_i * dm_j * pad_miss
+            dB = shg + dm_i * am_j * pad_miss
+
+        ac = a_dot - n_padf * am_i * am_j
+        dcA = dA - n_padf * am_i * dm_j
+        dcB = dB - n_padf * dm_i * am_j
+        r_add = ac * inv_sd_i * inv_sd_j / n
+        r_domA = (dcA - slope_j * ac) * inv_sd_i * inv_rstd_j / n
+        r_domB = (dcB - slope_i * ac) * inv_rstd_i * inv_sd_j / n
+
+        adj_add = 1.0 - (1.0 - r_add * r_add) * adj_c
+        adj_dA = 1.0 - (1.0 - r_domA * r_domA) * adj_c
+        adj_dB = 1.0 - (1.0 - r_domB * r_domB) * adj_c
+
+        in_win = (gj[None, :] >= lo_i) & (gj[None, :] <= hi_i)
+        upair = in_win & usable_j & usable_i
+        fwd = gj[None, :] >= r0
+        row_base = upair & fwd & (gj[None, :] != gi[:, None])
+        col_base = upair & (gj[None, :] >= r0 + B)
+        dmA = row_base & dom_ok_j
+        dmB = col_base & dom_ok_i
+        rowf = row_base.astype(jnp.float32)
+        colf = col_base.astype(jnp.float32)
+        dmAf = dmA.astype(jnp.float32)
+        dmBf = dmB.astype(jnp.float32)
+
+        rows = (
+            jnp.sum(adj_add * rowf, axis=1),
+            jnp.sum(row_base, axis=1).astype(jnp.int32),
+            jnp.sum(upair & fwd & poison_j, axis=1).astype(jnp.int32),
+            jnp.sum(adj_dA * dmAf, axis=1),
+            jnp.sum(dmA, axis=1).astype(jnp.int32),
+            jnp.sum((adj_dA > rsq_thr) & dmA, axis=1).astype(jnp.int32),
+        )
+        cols = (
+            jnp.sum(adj_add * colf, axis=0),
+            jnp.sum(col_base, axis=0).astype(jnp.int32),
+            jnp.sum(upair & poison_i & (gj[None, :] >= r0 + B),
+                    axis=0).astype(jnp.int32),
+            jnp.sum(adj_dB * dmBf, axis=0),
+            jnp.sum(dmB, axis=0).astype(jnp.int32),
+            jnp.sum((adj_dB > rsq_thr) & dmB, axis=0).astype(jnp.int32),
+        )
+        return rows + cols + (j0,)
+
+    outs = lax.map(pivot_block, jnp.arange(n_blocks, dtype=jnp.int32))
+    rows, cols, j0s = outs[:6], outs[6:12], outs[12]
+    # pass 2: fold column credits at each block's (clamped) offset
+    idx = j0s[:, None] + jnp.arange(right_rows, dtype=jnp.int32)[None, :]
+
+    def fold(row_parts, col_parts):
+        full = row_parts.reshape(m_pad).astype(col_parts.dtype)
+        return full.at[idx.reshape(-1)].add(col_parts.reshape(-1))
+
+    l2_acc, ws, poison, l2d_acc, wsd, wse = (
+        fold(r, c) for r, c in zip(rows, cols))
+    return finalize_outputs(l2_acc, l2d_acc, ws, wsd, wse, poison,
+                            usable, add_sd_zero)
+
+
 @partial(jax.jit, static_argnames=("block_size", "band_k", "right_k",
                                    "n_samples", "has_missing", "dot_dtype"))
 def ld_scores_int8_sym(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi,

@@ -108,8 +108,8 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
                 has_missing=has_missing)
         elif symmetric:
             right_k = windows.right_band_blocks(blk_hi, B)
-            l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8_sym(
-                *int8_args, block_size=B, band_k=band_k, right_k=right_k,
+            l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8_sym2(
+                *int8_args, block_size=B, right_k=right_k,
                 n_samples=n, has_missing=has_missing,
                 dot_dtype=config.int8_dot_dtype)
         else:
@@ -293,11 +293,15 @@ def estimate_lds(
         if streaming:
             from .streaming import compute_ld_scores_streaming  # noqa: PLC0415
 
-            log.info("Running the TPU LD estimator (streaming, chunk=%d rows)...",
-                     chunk_rows)
+            avail_dev = jax.devices()
+            n_dev = len(avail_dev) if n_devices is None else n_devices
+            devs = avail_dev[:n_dev] if n_dev > 1 else None
+            log.info("Running the TPU LD estimator (streaming, chunk=%d rows"
+                     "%s)...", chunk_rows,
+                     f", {len(devs)} devices" if devs else "")
             result = compute_ld_scores_streaming(
                 ds.bed, positions, config, chunk_rows=chunk_rows,
-                resume_path=resume_path)
+                resume_path=resume_path, devices=devs)
         else:
             avail = len(jax.devices())
             n_dev = avail if n_devices is None else n_devices

@@ -149,12 +149,19 @@ def _banded_chunk(add_b, res_b, usable_b, dom_ok_b, poison_b,
 
 def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                                 chunk_rows: int = 8192,
-                                resume_path: str | None = None) -> dict:
+                                resume_path: str | None = None,
+                                devices=None) -> dict:
     """Streamed LD scores from a :class:`BedReader` (out-of-core in M).
 
     Same result contract as ``pipeline.compute_ld_scores``.  ``chunk_rows``
     bounds device memory: the band held on device is at most
     ``chunk_rows + 2*window_span`` rows (f32, both encodings).
+
+    ``devices``: optional list of JAX devices — chunks are dispatched
+    round-robin across them (each chunk's band is self-contained, so no
+    inter-device halo traffic is needed: the combination of the sharded
+    and streaming engines).  Dispatch is async; results are collected one
+    full rotation behind, so up to ``len(devices)`` chunks are in flight.
     """
     m, n = bed.n_snp, bed.n_samples
     B = config.block_size
@@ -240,33 +247,36 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
             pos_ok_band[g0c - band_lo:g1c - band_lo] = pos_ok_pad[g0c:g1c]
         return g_band, pos_ok_band, chunk_has_missing
 
+    from collections import deque  # noqa: PLC0415
     from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
-    todo = [ci for ci in range(n_chunks) if ci not in done]
-    pool = ThreadPoolExecutor(max_workers=1)
-    prefetch = pool.submit(read_band, todo[0]) if todo else None
-    for idx, ci in enumerate(todo):
+    if not devices:
+        devices = [None]
+    n_dev = len(devices)
+    use_int8 = config.use_int8 if config.use_int8 is not None else True
+    n_piv_blocks = chunk_rows // B
+
+    def dispatch(ci, band, dev):
+        """Queue chunk ci's device work (async); returns device arrays."""
+        g_band, pos_ok_band, chunk_has_missing = band
         p0 = ci * chunk_rows
         p1 = p0 + chunk_rows
-        n_piv_blocks = chunk_rows // B
         band_lo = p0 - halo
 
-        # chunk ci's decode overlapped the previous chunk's device compute
-        g_band, pos_ok_band, chunk_has_missing = prefetch.result()
-        if idx + 1 < len(todo):
-            prefetch = pool.submit(read_band, todo[idx + 1])
+        def dev_put(x):
+            a = jnp.asarray(x)
+            return jax.device_put(a, dev) if dev is not None else a
 
         chunk_args = (
-            jnp.asarray(lo_pad[p0:p1]), jnp.asarray(hi_pad[p0:p1]),
-            jnp.asarray(blk_lo_pad[p0 // B:p1 // B]),
+            dev_put(lo_pad[p0:p1]), dev_put(hi_pad[p0:p1]),
+            dev_put(blk_lo_pad[p0 // B:p1 // B]),
             jnp.int32(band_lo), jnp.int32(halo), jnp.int32(m_pad),
             jnp.float32(config.rsq_thr))
-        use_int8 = config.use_int8 if config.use_int8 is not None else True
         if use_int8:
             from . import ld_int8  # noqa: PLC0415
 
             pre = ld_int8.preprocess_int8(
-                jnp.asarray(g_band), jnp.asarray(pos_ok_band),
+                dev_put(g_band), dev_put(pos_ok_band),
                 jnp.float32(config.maf_thr), n_samples=n)
             dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
             accs = _banded_chunk_int8(
@@ -276,7 +286,7 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                 dot_dtype=config.int8_dot_dtype)
         else:
             pre = preprocess_block(
-                jnp.asarray(g_band), jnp.asarray(pos_ok_band),
+                dev_put(g_band), dev_put(pos_ok_band),
                 jnp.float32(config.maf_thr), n_samples=n)
             dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
             accs = _banded_chunk(
@@ -284,7 +294,12 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                 pre["add_sd_zero"], *chunk_args,
                 block_size=B, band_k=band_k, n_samples=n,
                 n_piv_blocks=n_piv_blocks, precision=config.matmul_precision)
+        return pre, accs
 
+    def collect(ci, pre, accs):
+        """Fetch chunk ci's results to host and persist."""
+        p0 = ci * chunk_rows
+        p1 = p0 + chunk_rows
         piv_sl = slice(halo, halo + chunk_rows)
         usable_p = np.asarray(pre["usable"])[piv_sl]
         poison_p = np.asarray(pre["add_sd_zero"])[piv_sl]
@@ -308,6 +323,24 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
             os.replace(tmp, ck_dir / f"chunk_{ci:06d}.npz")
         log.info("chunk %d/%d done (rows %d..%d, band %d rows)",
                  ci + 1, n_chunks, p0, p1, band_rows)
+
+    todo = [ci for ci in range(n_chunks) if ci not in done]
+    pool = ThreadPoolExecutor(max_workers=1)
+    prefetch = pool.submit(read_band, todo[0]) if todo else None
+    in_flight: deque = deque()  # (ci, pre, accs) pending collection
+    for idx, ci in enumerate(todo):
+        # chunk ci's decode overlapped the previous chunks' device compute
+        band = prefetch.result()
+        if idx + 1 < len(todo):
+            prefetch = pool.submit(read_band, todo[idx + 1])
+
+        in_flight.append((ci, *dispatch(ci, band, devices[idx % n_dev])))
+        # keep one rotation of chunks in flight (all devices busy), then
+        # collect the oldest before reusing its device
+        while len(in_flight) >= n_dev + 1:
+            collect(*in_flight.popleft())
+    while in_flight:
+        collect(*in_flight.popleft())
 
     pool.shutdown()
     return {k: v[:m] for k, v in out.items()}

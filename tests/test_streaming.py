@@ -87,3 +87,25 @@ def test_streaming_resume(tmp_path, rng):
     with pytest.raises(ValueError, match="different parameters"):
         compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg,
                                     chunk_rows=128, resume_path=resume)
+
+
+def test_streaming_multi_device_matches_dense(tmp_path, rng):
+    # round-robin chunk dispatch over the 8 virtual CPU devices must be
+    # bitwise-identical to the single-device streaming pass
+    import jax
+
+    g, pos, bed = _setup(tmp_path, rng, m=400)
+    cfg = LDConfig(ld_wind=8000, wind_metric="bp", maf_thr=0.01,
+                   std_thr=1e-4, rsq_thr=1e-3, block_size=16)
+    dense = compute_ld_scores(g, pos.astype(np.float64), cfg)
+    devs = jax.devices()
+    assert len(devs) >= 2
+    multi = compute_ld_scores_streaming(
+        bed, pos.astype(np.float64), cfg, chunk_rows=64, devices=devs)
+    _assert_same(multi, dense)
+    # with a checkpoint directory too
+    ck = str(tmp_path / "mdck")
+    multi_ck = compute_ld_scores_streaming(
+        bed, pos.astype(np.float64), cfg, chunk_rows=64, devices=devs,
+        resume_path=ck)
+    _assert_same(multi_ck, dense)
