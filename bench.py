@@ -52,6 +52,7 @@ def tpu_pass(g, pos):
     m, n = g.shape
     lo, hi, pos_ok = windows.window_bounds(pos, WIN_SNPS * SPACING)
     blk_lo, blk_hi, band_k = windows.band_blocks(lo, hi, BLOCK, m // BLOCK)
+    right_k = windows.right_band_blocks(blk_hi, BLOCK)
     g_dev = jnp.asarray(g)
     meta = (jnp.asarray(pos_ok), jnp.asarray(lo), jnp.asarray(hi),
             jnp.asarray(blk_lo), jnp.asarray(blk_hi))
@@ -61,12 +62,13 @@ def tpu_pass(g, pos):
         pre = ld_int8.preprocess_int8(g_dev, meta[0], jnp.float32(MAF_THR),
                                       n_samples=n)
         dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(STD_THR))
-        out = ld_int8.ld_scores_int8(
+        out = ld_int8.ld_scores_int8_sym(
             pre["g"], pre["m"], pre["h"], pre["am"], pre["dm"], pre["slope"],
             pre["inv_sd"], pre["inv_rstd"], meta[1], meta[2], pre["usable"],
             dom_ok, pre["add_sd_zero"], meta[3], meta[4],
             jnp.float32(RSQ_THR), block_size=BLOCK, band_k=band_k,
-            n_samples=n, has_missing=False, dot_dtype="bf16")
+            right_k=right_k, n_samples=n, has_missing=False,
+            dot_dtype="bf16")
         return np.asarray(out[0])  # fetch forces completion
 
     t0 = time.time()

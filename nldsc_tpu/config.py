@@ -39,10 +39,10 @@ class LDConfig:
     interpret: bool = False        # Pallas interpreter mode (debug)
     matmul_precision: str = "highest"  # 'highest' (f32) | 'high' (bf16_3x)
     symmetric: bool | None = None  # exploit r² symmetry (half-band + row/col
-                                   # credit); None = auto: on only when the
-                                   # data has missing genotypes (where it
-                                   # saves 2 of 8 matmuls; without missing
-                                   # the scan overhead outweighs the gain)
+                                   # credit); None = auto: always on (v5e
+                                   # measurements: the one-pass symmetric
+                                   # engine beats full-band with AND without
+                                   # missing data — scripts/time_sym2.py)
     use_int8: bool | None = None   # integer-exact engine (bf16/int8 MXU
                                    # matmuls + analytic corrections);
                                    # None = auto (always on — fastest and

@@ -148,6 +148,187 @@ def _shard_fn_int8(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
     return flat + (usable, poison, pre["maf"], pre["rstd"])
 
 
+def _shard_fn_int8_sym(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr,
+                       std_thr, rsq_thr, n_samples, block_size, right_k,
+                       halo_rows, m_pad, has_missing, dot_dtype):
+    """Symmetric integer shard body.
+
+    Each pair is computed once, by the shard owning its LEFT member: data
+    halo flows only leftward (each shard receives its successors' first H
+    rows), and after the local right-half-band pass the column credits
+    that landed on halo rows are ppermuted BACK to their owning shards.
+    Halo traffic halves vs the full-band shard body (right-only), matmul
+    flops drop to 3/8 half-band products (vs 2/6 full-band) — the same
+    4/3 (resp. 3/2) saving as the in-core symmetric engine.
+    """
+    from ..ld.ld_int8 import make_idot, preprocess_int8  # noqa: PLC0415
+
+    B = block_size
+    L = g.shape[0]
+    H = halo_rows
+    n_shards = lax.axis_size(SNP_AXIS)
+    shard = lax.axis_index(SNP_AXIS)
+    shard_start = shard * L
+
+    pre = preprocess_int8(g, pos_ok, jnp.float32(maf_thr),
+                          n_samples=n_samples)
+    usable = pre["usable"]
+    dom_ok = usable & (pre["rstd"] > jnp.float32(std_thr))
+    poison = pre["add_sd_zero"]
+
+    def right_halo(x):
+        """First H rows of the successor shards (zeros past the end)."""
+        if H == 0:
+            return x[:0]
+        n_hops = -(-H // L)
+        if n_hops == 1:
+            perm = [(i + 1, i) for i in range(n_shards - 1)]
+            return lax.ppermute(x[:H], SNP_AXIS, perm)
+        parts = [lax.ppermute(x, SNP_AXIS,
+                              [(i + k, i) for i in range(n_shards - k)])
+                 for k in range(1, n_hops + 1)]
+        return jnp.concatenate(parts, axis=0)[:H]
+
+    def ext(x):
+        return jnp.concatenate([x, right_halo(x)], axis=0)
+
+    g_ext = ext(pre["g"])
+    m_ext = ext(pre["m"])
+    h_ext = ext(pre["h"])
+    scalars = jnp.stack([
+        pre["am"], pre["dm"], pre["slope"], pre["inv_sd"], pre["inv_rstd"],
+        usable.astype(jnp.float32), dom_ok.astype(jnp.float32),
+        poison.astype(jnp.float32)], axis=1)
+    sc_ext = ext(scalars)
+
+    ext_rows = L + H
+    right_rows = min(right_k * B, ext_rows)
+    n = jnp.float32(n_samples)
+    n_pad_cols = g.shape[1]
+    n_padf = jnp.float32(n_pad_cols)
+    pad_miss = jnp.float32(n_pad_cols - n_samples)
+    adj_c = (n - 1.0) / (n - 2.0)
+    idot = make_idot(dot_dtype)
+
+    def sl(v, at, size):
+        return lax.dynamic_slice_in_dim(v, at, size)
+
+    def step(carry, b_local):
+        row_acc, col_acc = carry     # (6, L) and (6, ext_rows) f32
+        r0 = b_local * B
+        gr0 = shard_start + r0
+        gi = gr0 + jnp.arange(B, dtype=jnp.int32)
+        g_i = lax.dynamic_slice_in_dim(g_ext, r0, B, axis=0)
+        m_i = lax.dynamic_slice_in_dim(m_ext, r0, B, axis=0)
+        h_i = lax.dynamic_slice_in_dim(h_ext, r0, B, axis=0)
+        lo_i = sl(lo, gr0, B)[:, None]
+        hi_i = sl(hi, gr0, B)[:, None]
+        sc_i = lax.dynamic_slice_in_dim(sc_ext, r0, B, axis=0)
+        usable_i = (sc_i[:, 5] > 0)[:, None]
+        poison_i = (sc_i[:, 7] > 0)[:, None]
+        dom_ok_i = (sc_i[:, 6] > 0)[:, None]
+        am_i, dm_i, slope_i = (sc_i[:, k][:, None] for k in (0, 1, 2))
+        inv_sd_i, inv_rstd_i = (sc_i[:, k][:, None] for k in (3, 4))
+
+        j0 = jnp.minimum(r0, ext_rows - right_rows)
+        gj = shard_start + j0 + jnp.arange(right_rows, dtype=jnp.int32)
+        g_j = lax.dynamic_slice_in_dim(g_ext, j0, right_rows, axis=0)
+        m_j = lax.dynamic_slice_in_dim(m_ext, j0, right_rows, axis=0)
+        h_j = lax.dynamic_slice_in_dim(h_ext, j0, right_rows, axis=0)
+        sc_j = lax.dynamic_slice_in_dim(sc_ext, j0, right_rows, axis=0)
+        in_range = gj < m_pad
+        usable_j = ((sc_j[:, 5] > 0) & in_range)[None, :]
+        poison_j = ((sc_j[:, 7] > 0) & in_range)[None, :]
+        dom_ok_j = ((sc_j[:, 6] > 0) & in_range)[None, :]
+        am_j, dm_j, slope_j = (sc_j[:, k][None, :] for k in (0, 1, 2))
+        inv_sd_j, inv_rstd_j = (sc_j[:, k][None, :] for k in (3, 4))
+
+        sgg = idot(g_i, g_j)
+        sgh = idot(g_i, h_j)
+        shg = idot(h_i, g_j)
+        if has_missing:
+            sgm = idot(g_i, m_j)
+            smg = idot(m_i, g_j)
+            smm = idot(m_i, m_j)
+            smh = idot(m_i, h_j)
+            shm = idot(h_i, m_j)
+            a_dot = sgg + am_j * sgm + am_i * smg + am_i * am_j * smm
+            dA = sgh + dm_j * sgm + am_i * smh + am_i * dm_j * smm
+            dB = shg + am_j * shm + dm_i * smg + dm_i * am_j * smm
+        else:
+            a_dot = sgg + am_i * am_j * pad_miss
+            dA = sgh + am_i * dm_j * pad_miss
+            dB = shg + dm_i * am_j * pad_miss
+
+        ac = a_dot - n_padf * am_i * am_j
+        dcA = dA - n_padf * am_i * dm_j
+        dcB = dB - n_padf * dm_i * am_j
+        r_add = ac * inv_sd_i * inv_sd_j / n
+        r_domA = (dcA - slope_j * ac) * inv_sd_i * inv_rstd_j / n
+        r_domB = (dcB - slope_i * ac) * inv_rstd_i * inv_sd_j / n
+
+        adj_add = 1.0 - (1.0 - r_add * r_add) * adj_c
+        adj_dA = 1.0 - (1.0 - r_domA * r_domA) * adj_c
+        adj_dB = 1.0 - (1.0 - r_domB * r_domB) * adj_c
+
+        in_win = (gj[None, :] >= lo_i) & (gj[None, :] <= hi_i)
+        upair = in_win & usable_j & usable_i
+        fwd = gj[None, :] >= gr0
+        row_base = upair & fwd & (gj[None, :] != gi[:, None])
+        col_base = upair & (gj[None, :] >= gr0 + B)
+        dmA = row_base & dom_ok_j
+        dmB = col_base & dom_ok_i
+
+        rows_b = jnp.stack([
+            jnp.sum(adj_add * row_base, axis=1),
+            jnp.sum(row_base, axis=1).astype(jnp.float32),
+            jnp.sum(upair & fwd & poison_j, axis=1).astype(jnp.float32),
+            jnp.sum(adj_dA * dmA, axis=1),
+            jnp.sum(dmA, axis=1).astype(jnp.float32),
+            jnp.sum((adj_dA > rsq_thr) & dmA, axis=1).astype(jnp.float32),
+        ])
+        cols_b = jnp.stack([
+            jnp.sum(adj_add * col_base, axis=0),
+            jnp.sum(col_base, axis=0).astype(jnp.float32),
+            jnp.sum(upair & poison_i & (gj[None, :] >= gr0 + B),
+                    axis=0).astype(jnp.float32),
+            jnp.sum(adj_dB * dmB, axis=0),
+            jnp.sum(dmB, axis=0).astype(jnp.float32),
+            jnp.sum((adj_dB > rsq_thr) & dmB, axis=0).astype(jnp.float32),
+        ])
+        row_acc = lax.dynamic_update_slice_in_dim(
+            row_acc, lax.dynamic_slice_in_dim(row_acc, r0, B, axis=1) + rows_b,
+            r0, axis=1)
+        col_acc = lax.dynamic_update_slice_in_dim(
+            col_acc, lax.dynamic_slice_in_dim(col_acc, j0, right_rows, axis=1)
+            + cols_b, j0, axis=1)
+        return (row_acc, col_acc), None
+
+    # pvary: the zero carries must be marked shard-varying to match the
+    # body outputs under shard_map's varying-axis typing
+    zr = lax.pvary(jnp.zeros((6, L), jnp.float32), SNP_AXIS)
+    zc = lax.pvary(jnp.zeros((6, ext_rows), jnp.float32), SNP_AXIS)
+    (row_acc, col_acc), _ = lax.scan(
+        step, (zr, zc), jnp.arange(L // B, dtype=jnp.int32))
+
+    # fold the local part of the column credits, then return halo credits
+    # to their owning (successor) shards — the reverse of the data halo
+    acc = row_acc + col_acc[:, :L]
+    if H > 0:
+        tail = col_acc[:, L:]                      # (6, H) for shards ahead
+        n_hops = -(-H // L)
+        for k in range(1, n_hops + 1):
+            seg = tail[:, (k - 1) * L:k * L]
+            seg_w = seg.shape[1]                   # < L on the last hop
+            perm = [(i, i + k) for i in range(n_shards - k)]
+            credit = lax.ppermute(seg, SNP_AXIS, perm)
+            acc = acc.at[:, :seg_w].add(credit)
+    l2_acc, ws, poi, l2d_acc, wsd, wse = acc
+    return (l2_acc, l2d_acc, ws.astype(jnp.int32), wsd.astype(jnp.int32),
+            wse.astype(jnp.int32), poi.astype(jnp.int32),
+            usable, poison, pre["maf"], pre["rstd"])
+
+
 def _shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
               rsq_thr, n_samples, block_size, band_k, halo_rows, m_pad,
               precision):
@@ -212,14 +393,21 @@ def _shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
 
 @partial(jax.jit,
          static_argnames=("maf_thr", "std_thr", "rsq_thr", "n_samples",
-                          "block_size", "band_k", "halo_rows", "precision",
-                          "mesh", "use_int8", "has_missing", "dot_dtype"))
+                          "block_size", "band_k", "right_k", "halo_rows",
+                          "precision", "mesh", "use_int8", "symmetric",
+                          "has_missing", "dot_dtype"))
 def _sharded_call(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
-                  rsq_thr, n_samples, block_size, band_k, halo_rows,
-                  precision, mesh, use_int8=False, has_missing=True,
-                  dot_dtype="bf16"):
+                  rsq_thr, n_samples, block_size, band_k, right_k,
+                  halo_rows, precision, mesh, use_int8=False,
+                  symmetric=False, has_missing=True, dot_dtype="bf16"):
     m_pad = g.shape[0]
-    if use_int8:
+    if use_int8 and symmetric:
+        fn = partial(_shard_fn_int8_sym, maf_thr=maf_thr, std_thr=std_thr,
+                     rsq_thr=jnp.float32(rsq_thr), n_samples=n_samples,
+                     block_size=block_size, right_k=right_k,
+                     halo_rows=halo_rows, m_pad=m_pad,
+                     has_missing=has_missing, dot_dtype=dot_dtype)
+    elif use_int8:
         fn = partial(_shard_fn_int8, maf_thr=maf_thr, std_thr=std_thr,
                      rsq_thr=jnp.float32(rsq_thr), n_samples=n_samples,
                      block_size=block_size, band_k=band_k,
@@ -280,8 +468,12 @@ def ld_scores_sharded(genotypes: np.ndarray, positions: np.ndarray, config,
     hi_pad = np.concatenate([hi, np.full(m_pad - m, -1, np.int32)]).astype(np.int32)
 
     has_missing = bool((genotypes < 0).any())
-    # same default policy as the single-device driver: integer engine always
+    # same default policy as the single-device driver: integer engine and
+    # the symmetric formulation always (scripts/time_sym2.py measurements)
     use_int8 = config.use_int8 if config.use_int8 is not None else True
+    symmetric = ((config.symmetric if config.symmetric is not None else True)
+                 and use_int8)
+    right_k = windows.right_band_blocks(blk_hi, B)
 
     with mesh:
         outs = _sharded_call(
@@ -289,9 +481,9 @@ def ld_scores_sharded(genotypes: np.ndarray, positions: np.ndarray, config,
             jnp.asarray(hi_pad), jnp.asarray(blk_lo), jnp.asarray(blk_hi),
             maf_thr=float(config.maf_thr), std_thr=float(config.std_thr),
             rsq_thr=float(config.rsq_thr), n_samples=n, block_size=B,
-            band_k=band_k, halo_rows=halo_rows,
+            band_k=band_k, right_k=right_k, halo_rows=halo_rows,
             precision=config.matmul_precision, mesh=mesh,
-            use_int8=use_int8, has_missing=has_missing,
+            use_int8=use_int8, symmetric=symmetric, has_missing=has_missing,
             dot_dtype=config.int8_dot_dtype)
 
     l2, l2d, ws, wsd, wse, maf, rstd = outs

@@ -90,3 +90,37 @@ def test_int8_pallas_kernel(rng, missing_rate):
                     cfg.rsq_thr)
     tol = dict(rtol=3e-6, atol=3e-6) if missing_rate == 0 else {}
     assert_ld_parity(res, ora, **tol)
+
+
+def test_int8_sym2_direct_parity(rng):
+    # the two-pass symmetric engine is kept as a measured-slower alternate
+    # (scripts/time_sym2.py); pin its correctness directly
+    import jax.numpy as jnp
+
+    from nldsc_tpu.ld import ld_int8, windows
+
+    m, n, B = 192, 160, 16
+    g = random_genotypes(rng, m, n, missing_rate=0.04)
+    pos = make_positions(m, spacing=900, jitter_rng=rng)
+    wind = 6000.0
+    lo, hi, pos_ok = windows.window_bounds(pos, wind)
+    blk_lo, blk_hi, band_k = windows.band_blocks(lo, hi, B, m // B)
+    right_k = windows.right_band_blocks(blk_hi, B)
+    pre = ld_int8.preprocess_int8(jnp.asarray(g), jnp.asarray(pos_ok),
+                                  jnp.float32(0.01), n_samples=n)
+    dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(1e-4))
+    args = (pre["g"], pre["m"], pre["h"], pre["am"], pre["dm"], pre["slope"],
+            pre["inv_sd"], pre["inv_rstd"], jnp.asarray(lo), jnp.asarray(hi),
+            pre["usable"], dom_ok, pre["add_sd_zero"],
+            jnp.asarray(blk_lo), jnp.asarray(blk_hi), jnp.float32(1e-3))
+    out = ld_int8.ld_scores_int8_sym2(
+        *args, block_size=B, right_k=right_k, n_samples=n, has_missing=True)
+    res = {k: np.asarray(v) for k, v in zip(
+        ("l2", "l2d", "l2_ws", "l2d_ws", "l2d_wse"), out)}
+    ora = oracle_ld(g, pos, wind, 0.01, 1e-4, 1e-3)
+    np.testing.assert_allclose(res["l2"], ora["l2"], rtol=3e-6, atol=3e-6,
+                               equal_nan=True)
+    np.testing.assert_allclose(res["l2d"], ora["l2d"], rtol=3e-6, atol=3e-6,
+                               equal_nan=True)
+    np.testing.assert_array_equal(res["l2_ws"], ora["l2_ws"])
+    np.testing.assert_array_equal(res["l2d_wse"], ora["l2d_wse"])
