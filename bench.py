@@ -38,29 +38,37 @@ def make_inputs(m, n, seed):
     return g, pos
 
 
-def tpu_pass(g, pos):
-    """Device LD pass; returns wall seconds (inputs pre-staged on device).
+#: distinct timed dispatches — amortizes the ~33 ms axon tunnel RTT (the
+#: per-call dispatch+fetch floor) so the rate reflects device compute
+REPS = 4
 
-    Uses the integer-exact engine (the default for fully-typed data):
-    bf16 MXU matmuls with exact integer accumulation + analytic
-    imputation/centering corrections.
+
+def tpu_pass(g_list, pos):
+    """Device LD pass; returns wall seconds PER PASS.
+
+    ``g_list``: pre-staged device genotype arrays, all distinct (identical
+    calls are memoized by the remote runtime).  All passes are dispatched
+    asynchronously, then all results fetched — one tunnel round-trip
+    amortized over len(g_list) compute passes.
+
+    Uses the integer-exact symmetric engine (the default for fully-typed
+    data): bf16 MXU matmuls with exact integer accumulation + analytic
+    centering corrections.
     """
     import jax.numpy as jnp
 
     from nldsc_tpu.ld import ld_int8, windows
 
-    m, n = g.shape
+    m, n = g_list[0].shape
     lo, hi, pos_ok = windows.window_bounds(pos, WIN_SNPS * SPACING)
     blk_lo, blk_hi, band_k = windows.band_blocks(lo, hi, BLOCK, m // BLOCK)
     right_k = windows.right_band_blocks(blk_hi, BLOCK)
-    g_dev = jnp.asarray(g)
     meta = (jnp.asarray(pos_ok), jnp.asarray(lo), jnp.asarray(hi),
             jnp.asarray(blk_lo), jnp.asarray(blk_hi))
-    g_dev.block_until_ready()
 
-    def run():
+    def dispatch(g_dev):
         pre = ld_int8.preprocess_int8(g_dev, meta[0], jnp.float32(MAF_THR),
-                                      n_samples=n)
+                                      n_samples=n, assume_no_missing=True)
         dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(STD_THR))
         out = ld_int8.ld_scores_int8_sym(
             pre["g"], pre["m"], pre["h"], pre["am"], pre["dm"], pre["slope"],
@@ -69,12 +77,14 @@ def tpu_pass(g, pos):
             jnp.float32(RSQ_THR), block_size=BLOCK, band_k=band_k,
             right_k=right_k, n_samples=n, has_missing=False,
             dot_dtype="bf16")
-        return np.asarray(out[0])  # fetch forces completion
+        return out[0]
 
     t0 = time.time()
-    l2 = run()
-    dt = time.time() - t0
-    assert np.isfinite(l2).sum() > m * 0.9
+    outs = [dispatch(g) for g in g_list]      # async dispatches
+    l2s = [np.asarray(o) for o in outs]       # fetch forces completion
+    dt = (time.time() - t0) / len(g_list)
+    for l2 in l2s:
+        assert np.isfinite(l2).sum() > m * 0.9
     return dt
 
 
@@ -119,10 +129,15 @@ def main():
     cpu_rate = CPU_M / cpu_dt
 
     # --- TPU pass ---
+    import jax.numpy as jnp
+
     g_warm, pos = make_inputs(M, N, seed=1)
-    g_time, _ = make_inputs(M, N, seed=2)
-    tpu_pass(g_warm, pos)          # compile + warm
-    dt = tpu_pass(g_time, pos)     # timed (different data: no memoization)
+    g_time = [jnp.asarray(make_inputs(M, N, seed=2 + r)[0])
+              for r in range(REPS)]
+    for g in g_time:
+        g.block_until_ready()
+    tpu_pass([jnp.asarray(g_warm)], pos)   # compile + warm
+    dt = tpu_pass(g_time, pos)   # timed (all-distinct data: no memoization)
     rate = M / dt
 
     print(json.dumps({

@@ -41,32 +41,53 @@ from jax import lax
 from .ld_xla import finalize_outputs
 
 
-@partial(jax.jit, static_argnames=("n_samples",))
+@partial(jax.jit, static_argnames=("n_samples", "assume_no_missing"))
 def preprocess_int8(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array,
-                    n_samples: int) -> dict[str, jax.Array]:
+                    n_samples: int,
+                    assume_no_missing: bool = False) -> dict[str, jax.Array]:
     """Integer-path preprocessing: keep int8 arrays + per-SNP f32 scalars.
 
     Same statistics contract as :func:`preprocess.preprocess_block` but
     returns ``g``/``m``/``h`` int8 matrices instead of standardized f32
-    rows.  Sample padding must be negative (treated as missing).
+    rows.  Sample padding must be negative (treated as missing) — UNLESS
+    ``assume_no_missing`` is set, in which case the caller guarantees no
+    negative codes anywhere (zero-pad rows/columns instead): ``g`` is
+    returned as-is (no masked copy) and the missing-indicator slot aliases
+    ``g`` (it is never read by the no-missing kernel branches), removing
+    two of the three O(M·N) int8 materializations.  The correction
+    algebra is invariant: with zero padding and no missing,
+    ``sgg − n·am_i·am_j`` ≡ ``sgg + am_i·am_j·pad_miss − n_pad·am_i·am_j``.
     """
     g = genotypes
     n = jnp.float32(n_samples)
 
-    valid = g >= 0
-    gq = jnp.where(valid, g, 0).astype(jnp.int8)
-    mq = (~valid).astype(jnp.int8)
-    hq = jnp.where(valid, 2 * jnp.minimum(g, 1), 0).astype(jnp.int8)
+    if assume_no_missing:
+        gq = g
+        mq = g                      # alias; dead in no-missing kernels
+        hq = (2 * jnp.minimum(g, 1)).astype(jnp.int8)
+        cm = jnp.full(g.shape[0], jnp.float32(g.shape[1] - n_samples))
+    else:
+        valid = g >= 0
+        gq = jnp.where(valid, g, 0).astype(jnp.int8)
+        mq = (~valid).astype(jnp.int8)
+        hq = jnp.where(valid, 2 * jnp.minimum(g, 1), 0).astype(jnp.int8)
+        cm = jnp.sum(~valid, axis=1, dtype=jnp.float32)  # incl padding
 
-    gf = gq.astype(jnp.float32)
-    n_valid_raw = jnp.sum(valid, axis=1)
+    # every per-row moment is a closed form of THREE counts over the int8
+    # codes (one fused read of g instead of five f32 passes):
+    #   Σg = c1 + 2c2;  Σg² = c1 + 4c2;  h = 2·min(g,1):
+    #   Σh = Σgh/… = 2(c1+c2);  Σh² = 4(c1+c2);  Σgh = 2c1 + 4c2
+    c1 = jnp.sum(gq == 1, axis=1, dtype=jnp.float32)
+    c2 = jnp.sum(gq == 2, axis=1, dtype=jnp.float32)
+
+    n_valid_raw = jnp.float32(g.shape[1]) - cm
     # reference semantics for an ALL-missing SNP: NaN mean -> the MAF drop
     # test is false -> stays usable as an additive-sum poison (see
     # preprocess.preprocess_block)
     all_missing = n_valid_raw == 0
-    n_valid = jnp.maximum(n_valid_raw, 1).astype(jnp.float32)
-    add_sum = jnp.sum(gf, axis=1)
-    dom_sum = jnp.sum(hq.astype(jnp.float32), axis=1)
+    n_valid = jnp.maximum(n_valid_raw, 1.0)
+    add_sum = c1 + 2.0 * c2
+    dom_sum = 2.0 * (c1 + c2)
     am = add_sum / n_valid
     dm = dom_sum / n_valid
 
@@ -76,9 +97,9 @@ def preprocess_int8(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array,
 
     # population moments of the imputed vectors via the same decomposition
     # (exact integer second moments + rank-1 corrections)
-    sgg = jnp.sum(gf * gf, axis=1)                      # dot(g, g), exact
-    sgh = jnp.sum(gf * hq.astype(jnp.float32), axis=1)  # dot(g, h), exact
-    n_miss = n - n_valid + jnp.float32(g.shape[1] - n_samples)  # incl padding
+    sgg = c1 + 4.0 * c2                                 # dot(g, g), exact
+    sgh = 2.0 * c1 + 4.0 * c2                           # dot(g, h), exact
+    n_miss = cm                                          # incl padding
     n_pad = jnp.float32(g.shape[1])
     # dot(a_imp, a_imp) = sgg + am^2 * n_missing_total
     var_a_sum = sgg + am * am * n_miss - n_pad * am * am
@@ -90,7 +111,7 @@ def preprocess_int8(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array,
     slope = cov_ad_sum / safe_var
 
     # residual variance: var(d) - slope * cov(a, d)  (1-D OLS identity)
-    shh = jnp.sum(jnp.square(hq.astype(jnp.float32)), axis=1)
+    shh = 4.0 * (c1 + c2)
     var_d_sum = shh + dm * dm * n_miss - n_pad * dm * dm
     rvar_sum = var_d_sum - slope * cov_ad_sum
     rstd = jnp.sqrt(jnp.maximum(rvar_sum, 0.0) / n)
@@ -107,7 +128,8 @@ def preprocess_int8(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array,
         "maf": jnp.where(pos_ok & ~all_missing, maf, nan),
         "rstd": jnp.where(usable & ~add_sd_zero, rstd, nan),
         "usable": usable, "add_sd_zero": add_sd_zero,
-        "has_missing": jnp.any(mq > 0),
+        "has_missing": (jnp.array(False) if assume_no_missing
+                        else jnp.any(mq > 0)),
     }
 
 

@@ -70,20 +70,25 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
     lo, hi, pos_ok = windows.window_bounds(positions, config.ld_wind)
     blk_lo, blk_hi, band_k = windows.band_blocks(lo, hi, B, m_pad // B)
 
-    g = _pad_to(genotypes.astype(np.int8), m_pad, -1)
+    # padding-only missingness collapses analytically in the int8 engine,
+    # so only REAL missing genotypes force the 6/8-matmul paths.  With no
+    # real missing, pad with ZEROS and let preprocess alias g/m (skips two
+    # O(M·N) int8 materializations — the algebra is invariant, see
+    # preprocess_int8).
+    has_missing = bool((genotypes < 0).any())
+    use_int8 = config.use_int8 if config.use_int8 is not None else True
+    pad_val = np.int8(-1) if (has_missing or not use_int8) else np.int8(0)
+
+    g = _pad_to(genotypes.astype(np.int8), m_pad, pad_val)
     if n_pad != n:
         g = np.concatenate(
-            [g, np.full((m_pad, n_pad - n), -1, dtype=np.int8)], axis=1)
+            [g, np.full((m_pad, n_pad - n), pad_val, dtype=np.int8)], axis=1)
     pos_ok_pad = _pad_to(pos_ok, m_pad, False)
     lo_pad = _pad_to(lo, m_pad, np.int32(m_pad))   # empty window for padding
     hi_pad = _pad_to(hi, m_pad, np.int32(-1))
 
     g_dev = jnp.asarray(g, device=device)
 
-    # padding-only missingness collapses analytically in the int8 engine,
-    # so only REAL missing genotypes force the 6/8-matmul paths
-    has_missing = bool((genotypes < 0).any())
-    use_int8 = config.use_int8 if config.use_int8 is not None else True
     # measured on v5e (scripts/time_sym2.py, M=N=16384, W=1000): the
     # one-pass symmetric engine beats full-band BOTH with and without
     # missing data (435k vs 397k / 256k vs 237k SNPs/s) -> default always
@@ -93,7 +98,7 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
         from . import ld_int8  # noqa: PLC0415
         pre = ld_int8.preprocess_int8(
             g_dev, jnp.asarray(pos_ok_pad), jnp.float32(config.maf_thr),
-            n_samples=n)
+            n_samples=n, assume_no_missing=not has_missing)
         dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
         int8_args = (
             pre["g"], pre["m"], pre["h"], pre["am"], pre["dm"], pre["slope"],

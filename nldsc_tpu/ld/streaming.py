@@ -101,6 +101,146 @@ def _banded_chunk_int8(pre, dom_ok_b, lo_piv, hi_piv, blk_lo_piv, band_g0,
     return lax.map(pivot_block, jnp.arange(n_piv_blocks, dtype=jnp.int32))
 
 
+@partial(jax.jit, static_argnames=("block_size", "right_k", "n_samples",
+                                   "n_piv_blocks", "has_missing",
+                                   "dot_dtype"))
+def _banded_chunk_int8_sym(pre, dom_ok_b, lo_piv, hi_piv, band_g0, m_pad,
+                           rsq_thr, *, block_size: int, right_k: int,
+                           n_samples: int, n_piv_blocks: int,
+                           has_missing: bool, dot_dtype: str):
+    """Symmetric integer chunk pass (right half-band only).
+
+    The band holds ``[p0, p1 + halo)`` — pivots at local offset 0, right
+    halo after them; each pair is computed once by the chunk owning its
+    left member.  Returns (local (6, chunk_rows) row+col sums for the
+    pivot rows, (6, halo) column credits for rows of LATER chunks).
+    Quantity order: l2, ws, poison, l2d, wsd, wse (counters as f32 —
+    exact below 2^24).
+    """
+    from .ld_int8 import make_idot  # noqa: PLC0415
+
+    B = block_size
+    chunk_rows = n_piv_blocks * B
+    ext_rows = pre["g"].shape[0]
+    halo = ext_rows - chunk_rows
+    right_rows = min(right_k * B, ext_rows)
+    n = jnp.float32(n_samples)
+    n_pad_cols = pre["g"].shape[1]
+    n_padf = jnp.float32(n_pad_cols)
+    pad_miss = jnp.float32(n_pad_cols - n_samples)
+    adj_c = (n - 1.0) / (n - 2.0)
+    idot = make_idot(dot_dtype)
+
+    usable_b = pre["usable"]
+    poison_b = pre["add_sd_zero"]
+
+    def sl(v, at, size):
+        return lax.dynamic_slice_in_dim(v, at, size)
+
+    def step(carry, b):
+        row_acc, col_acc = carry
+        r0 = b * B
+        gr0 = band_g0 + r0
+        gi = gr0 + jnp.arange(B, dtype=jnp.int32)
+        g_i = lax.dynamic_slice_in_dim(pre["g"], r0, B, axis=0)
+        m_i = lax.dynamic_slice_in_dim(pre["m"], r0, B, axis=0)
+        h_i = lax.dynamic_slice_in_dim(pre["h"], r0, B, axis=0)
+        lo_i = sl(lo_piv, r0, B)[:, None]
+        hi_i = sl(hi_piv, r0, B)[:, None]
+        usable_i = sl(usable_b, r0, B)[:, None]
+        poison_i = sl(poison_b, r0, B)[:, None]
+        dom_ok_i = sl(dom_ok_b, r0, B)[:, None]
+        am_i = sl(pre["am"], r0, B)[:, None]
+        dm_i = sl(pre["dm"], r0, B)[:, None]
+        slope_i = sl(pre["slope"], r0, B)[:, None]
+        inv_sd_i = sl(pre["inv_sd"], r0, B)[:, None]
+        inv_rstd_i = sl(pre["inv_rstd"], r0, B)[:, None]
+
+        j0 = jnp.minimum(r0, ext_rows - right_rows)
+        gj = band_g0 + j0 + jnp.arange(right_rows, dtype=jnp.int32)
+        g_j = lax.dynamic_slice_in_dim(pre["g"], j0, right_rows, axis=0)
+        m_j = lax.dynamic_slice_in_dim(pre["m"], j0, right_rows, axis=0)
+        h_j = lax.dynamic_slice_in_dim(pre["h"], j0, right_rows, axis=0)
+        in_range = gj < m_pad
+        usable_j = (sl(usable_b, j0, right_rows) & in_range)[None, :]
+        poison_j = (sl(poison_b, j0, right_rows) & in_range)[None, :]
+        dom_ok_j = (sl(dom_ok_b, j0, right_rows) & in_range)[None, :]
+        am_j = sl(pre["am"], j0, right_rows)[None, :]
+        dm_j = sl(pre["dm"], j0, right_rows)[None, :]
+        slope_j = sl(pre["slope"], j0, right_rows)[None, :]
+        inv_sd_j = sl(pre["inv_sd"], j0, right_rows)[None, :]
+        inv_rstd_j = sl(pre["inv_rstd"], j0, right_rows)[None, :]
+
+        sgg = idot(g_i, g_j)
+        sgh = idot(g_i, h_j)
+        shg = idot(h_i, g_j)
+        if has_missing:
+            sgm = idot(g_i, m_j)
+            smg = idot(m_i, g_j)
+            smm = idot(m_i, m_j)
+            smh = idot(m_i, h_j)
+            shm = idot(h_i, m_j)
+            a_dot = sgg + am_j * sgm + am_i * smg + am_i * am_j * smm
+            dA = sgh + dm_j * sgm + am_i * smh + am_i * dm_j * smm
+            dB = shg + am_j * shm + dm_i * smg + dm_i * am_j * smm
+        else:
+            a_dot = sgg + am_i * am_j * pad_miss
+            dA = sgh + am_i * dm_j * pad_miss
+            dB = shg + dm_i * am_j * pad_miss
+
+        ac = a_dot - n_padf * am_i * am_j
+        dcA = dA - n_padf * am_i * dm_j
+        dcB = dB - n_padf * dm_i * am_j
+        r_add = ac * inv_sd_i * inv_sd_j / n
+        r_domA = (dcA - slope_j * ac) * inv_sd_i * inv_rstd_j / n
+        r_domB = (dcB - slope_i * ac) * inv_rstd_i * inv_sd_j / n
+
+        adj_add = 1.0 - (1.0 - r_add * r_add) * adj_c
+        adj_dA = 1.0 - (1.0 - r_domA * r_domA) * adj_c
+        adj_dB = 1.0 - (1.0 - r_domB * r_domB) * adj_c
+
+        in_win = (gj[None, :] >= lo_i) & (gj[None, :] <= hi_i)
+        upair = in_win & usable_j & usable_i
+        fwd = gj[None, :] >= gr0
+        row_base = upair & fwd & (gj[None, :] != gi[:, None])
+        col_base = upair & (gj[None, :] >= gr0 + B)
+        dmA = row_base & dom_ok_j
+        dmB = col_base & dom_ok_i
+
+        rows_b = jnp.stack([
+            jnp.sum(adj_add * row_base, axis=1),
+            jnp.sum(row_base, axis=1).astype(jnp.float32),
+            jnp.sum(upair & fwd & poison_j, axis=1).astype(jnp.float32),
+            jnp.sum(adj_dA * dmA, axis=1),
+            jnp.sum(dmA, axis=1).astype(jnp.float32),
+            jnp.sum((adj_dA > rsq_thr) & dmA, axis=1).astype(jnp.float32),
+        ])
+        cols_b = jnp.stack([
+            jnp.sum(adj_add * col_base, axis=0),
+            jnp.sum(col_base, axis=0).astype(jnp.float32),
+            jnp.sum(upair & poison_i & (gj[None, :] >= gr0 + B),
+                    axis=0).astype(jnp.float32),
+            jnp.sum(adj_dB * dmB, axis=0),
+            jnp.sum(dmB, axis=0).astype(jnp.float32),
+            jnp.sum((adj_dB > rsq_thr) & dmB, axis=0).astype(jnp.float32),
+        ])
+        row_acc = lax.dynamic_update_slice_in_dim(
+            row_acc, lax.dynamic_slice_in_dim(row_acc, r0, B, axis=1) + rows_b,
+            r0, axis=1)
+        col_acc = lax.dynamic_update_slice_in_dim(
+            col_acc, lax.dynamic_slice_in_dim(col_acc, j0, right_rows, axis=1)
+            + cols_b, j0, axis=1)
+        return (row_acc, col_acc), None
+
+    zr = jnp.zeros((6, chunk_rows), jnp.float32)
+    zc = jnp.zeros((6, ext_rows), jnp.float32)
+    (row_acc, col_acc), _ = lax.scan(
+        step, (zr, zc), jnp.arange(n_piv_blocks, dtype=jnp.int32))
+    local = row_acc + col_acc[:, :chunk_rows]
+    tail = col_acc[:, chunk_rows:] if halo > 0 else col_acc[:, :0]
+    return local, tail
+
+
 @partial(jax.jit, static_argnames=("block_size", "band_k", "n_samples",
                                    "n_piv_blocks", "precision"))
 def _banded_chunk(add_b, res_b, usable_b, dom_ok_b, poison_b,
@@ -171,13 +311,24 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
 
     lo, hi, pos_ok = windows.window_bounds(positions, config.ld_wind)
     blk_lo_all, blk_hi_all, band_k = windows.band_blocks(lo, hi, B, m_pad // B)
+    right_k = windows.right_band_blocks(blk_hi_all, B)
     halo = -(-windows.max_halo_rows(lo, hi) // B) * B
 
-    # fixed shapes across chunks -> one trace: pivot span always chunk_rows,
-    # band always chunk_rows + 2*halo; edges handled by masking
+    use_int8 = config.use_int8 if config.use_int8 is not None else True
+    # symmetric streaming: each pair computed once by the chunk owning its
+    # LEFT member — the band shrinks to [p0, p1 + halo) (right-only, ~2/3
+    # the decode+transfer) and matmuls drop to 3/8 half-band products;
+    # column credits for later chunks ride a host-side carry (checkpointed
+    # in the shard files as `tail`)
+    symmetric = ((config.symmetric if config.symmetric is not None else True)
+                 and use_int8)
+
+    # fixed shapes across chunks -> one trace: pivot span always chunk_rows;
+    # edges handled by masking
     n_chunks = -(-m_pad // chunk_rows)
     m_ext = n_chunks * chunk_rows
-    band_rows = chunk_rows + 2 * halo
+    band_rows = chunk_rows + (1 if symmetric else 2) * halo
+    lead = 0 if symmetric else halo   # rows of band before the pivots
 
     def pad_meta(a, fill):
         return np.concatenate(
@@ -201,6 +352,9 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     # loses at most the in-flight chunk
     done = set()
     ck_dir = None
+    # host-side carry of column credits for rows of later chunks
+    # (symmetric mode only); aligned at the next uncollected chunk's p0
+    carry = np.zeros((6, halo), dtype=np.float64)
     if resume_path:
         import json  # noqa: PLC0415
         from pathlib import Path  # noqa: PLC0415
@@ -208,7 +362,8 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
         ck_dir = Path(resume_path)
         ck_dir.mkdir(parents=True, exist_ok=True)
         meta = {"m": m, "n": n, "chunk_rows": chunk_rows, "block_size": B,
-                "ld_wind": float(config.ld_wind)}
+                "ld_wind": float(config.ld_wind),
+                "engine": "sym" if symmetric else "full"}
         meta_path = ck_dir / "meta.json"
         if meta_path.exists():
             saved_meta = json.loads(meta_path.read_text())
@@ -219,20 +374,35 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                     "checkpoint directory")
         else:
             meta_path.write_text(json.dumps(meta))
+        shards = {}
         for f in sorted(ck_dir.glob("chunk_*.npz")):
-            ci = int(f.stem.split("_")[1])
+            shards[int(f.stem.split("_")[1])] = f
+        if symmetric:
+            # credits flow forward, so only a CONTIGUOUS prefix of
+            # completed chunks is resumable; later orphans recompute
+            k = 0
+            while k in shards:
+                k += 1
+            shards = {ci: f for ci, f in shards.items() if ci < k}
+        for ci, f in shards.items():
             saved = np.load(f)
             c0, c1 = ci * chunk_rows, (ci + 1) * chunk_rows
-            for k in out:
-                out[k][c0:c1] = saved[k]
+            for k_ in out:
+                out[k_][c0:c1] = saved[k_]
             done.add(ci)
+            if symmetric and "tail" in saved:
+                # fold this chunk's stored credits into the carry aligned
+                # at the resume point p0 = len(shards)*chunk_rows
+                offset = (len(shards) - 1 - ci) * chunk_rows
+                if offset < halo:
+                    carry[:, :halo - offset] += saved["tail"][:, offset:]
         if done:
             log.info("Resuming: %d chunks already complete", len(done))
 
     def read_band(ci):
         """Host-side decode of chunk ci's window band (prefetch thread)."""
         p0 = ci * chunk_rows
-        band_lo = p0 - halo              # may be negative (masked)
+        band_lo = p0 - lead              # may be negative (masked)
         band_hi = band_lo + band_rows
         g_band = np.full((band_rows, n_pad), -1, dtype=np.int8)
         r0, r1 = max(band_lo, 0), min(band_hi, m)
@@ -253,7 +423,6 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     if not devices:
         devices = [None]
     n_dev = len(devices)
-    use_int8 = config.use_int8 if config.use_int8 is not None else True
     n_piv_blocks = chunk_rows // B
 
     def dispatch(ci, band, dev):
@@ -261,11 +430,26 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
         g_band, pos_ok_band, chunk_has_missing = band
         p0 = ci * chunk_rows
         p1 = p0 + chunk_rows
-        band_lo = p0 - halo
+        band_lo = p0 - lead
 
         def dev_put(x):
             a = jnp.asarray(x)
             return jax.device_put(a, dev) if dev is not None else a
+
+        if symmetric:
+            from . import ld_int8  # noqa: PLC0415
+
+            pre = ld_int8.preprocess_int8(
+                dev_put(g_band), dev_put(pos_ok_band),
+                jnp.float32(config.maf_thr), n_samples=n)
+            dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
+            accs = _banded_chunk_int8_sym(
+                pre, dom_ok, dev_put(lo_pad[p0:p1]), dev_put(hi_pad[p0:p1]),
+                jnp.int32(p0), jnp.int32(m_pad), jnp.float32(config.rsq_thr),
+                block_size=B, right_k=right_k, n_samples=n,
+                n_piv_blocks=n_piv_blocks, has_missing=chunk_has_missing,
+                dot_dtype=config.int8_dot_dtype)
+            return pre, accs
 
         chunk_args = (
             dev_put(lo_pad[p0:p1]), dev_put(hi_pad[p0:p1]),
@@ -298,14 +482,39 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
 
     def collect(ci, pre, accs):
         """Fetch chunk ci's results to host and persist."""
+        nonlocal carry
         p0 = ci * chunk_rows
         p1 = p0 + chunk_rows
-        piv_sl = slice(halo, halo + chunk_rows)
+        piv_sl = slice(lead, lead + chunk_rows)
         usable_p = np.asarray(pre["usable"])[piv_sl]
         poison_p = np.asarray(pre["add_sd_zero"])[piv_sl]
-        fin = finalize_outputs(
-            *(jnp.asarray(np.asarray(a).reshape(chunk_rows)) for a in accs),
-            jnp.asarray(usable_p), jnp.asarray(poison_p))
+        tail = None
+        if symmetric:
+            local, tail_dev = accs
+            sums = np.asarray(local, dtype=np.float64)
+            tail = np.asarray(tail_dev, dtype=np.float64)
+            # credits earned by EARLIER chunks for these rows
+            w = min(halo, chunk_rows)
+            sums[:, :w] += carry[:, :w]
+            # advance the carry window to the next chunk's p0
+            nc = np.zeros_like(carry)
+            if halo > chunk_rows:
+                nc[:, :halo - chunk_rows] = carry[:, chunk_rows:]
+            nc += tail
+            carry = nc
+            l2a, ws_c, poi_c, l2da, wsd_c, wse_c = sums
+            fin = finalize_outputs(
+                jnp.asarray(l2a.astype(np.float32)),
+                jnp.asarray(l2da.astype(np.float32)),
+                jnp.asarray(ws_c.astype(np.int32)),
+                jnp.asarray(wsd_c.astype(np.int32)),
+                jnp.asarray(wse_c.astype(np.int32)),
+                jnp.asarray(poi_c.astype(np.int32)),
+                jnp.asarray(usable_p), jnp.asarray(poison_p))
+        else:
+            fin = finalize_outputs(
+                *(jnp.asarray(np.asarray(a).reshape(chunk_rows)) for a in accs),
+                jnp.asarray(usable_p), jnp.asarray(poison_p))
         l2, l2d, ws, wsd, wse = (np.asarray(f) for f in fin)
 
         out["l2"][p0:p1] = l2
@@ -319,7 +528,8 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
         done.add(ci)
         if ck_dir is not None:
             tmp = ck_dir / f".tmp_chunk_{ci:06d}.npz"  # savez wants .npz
-            np.savez(tmp, **{k: out[k][p0:p1] for k in out})
+            extra = {"tail": tail} if tail is not None else {}
+            np.savez(tmp, **{k: out[k][p0:p1] for k in out}, **extra)
             os.replace(tmp, ck_dir / f"chunk_{ci:06d}.npz")
         log.info("chunk %d/%d done (rows %d..%d, band %d rows)",
                  ci + 1, n_chunks, p0, p1, band_rows)

@@ -109,3 +109,31 @@ def test_streaming_multi_device_matches_dense(tmp_path, rng):
         bed, pos.astype(np.float64), cfg, chunk_rows=64, devices=devs,
         resume_path=ck)
     _assert_same(multi_ck, dense)
+
+
+def test_streaming_symmetric_wide_halo(tmp_path, rng):
+    # symmetric streaming with halo spanning MULTIPLE chunks: column
+    # credits must carry across 3+ chunk boundaries
+    g, pos, bed = _setup(tmp_path, rng, m=350)
+    cfg = LDConfig(ld_wind=30000, wind_metric="bp", maf_thr=0.01,
+                   std_thr=1e-4, rsq_thr=1e-3, block_size=16)
+    assert cfg.symmetric is None  # auto -> symmetric
+    dense = compute_ld_scores(g, pos.astype(np.float64), cfg)
+    for chunk in (16, 32, 512):
+        streamed = compute_ld_scores_streaming(
+            bed, pos.astype(np.float64), cfg, chunk_rows=chunk)
+        _assert_same(streamed, dense)
+    # resume mid-run: delete some trailing shards, carry must rebuild
+    ck = str(tmp_path / "symck")
+    full = compute_ld_scores_streaming(
+        bed, pos.astype(np.float64), cfg, chunk_rows=16, resume_path=ck)
+    import os
+    shards = sorted(f for f in os.listdir(ck) if f.startswith("chunk_"))
+    assert len(shards) > 6
+    for f in shards[-5:]:
+        os.remove(os.path.join(ck, f))
+    # also orphan a middle shard: sym resume must keep only the prefix
+    os.remove(os.path.join(ck, shards[3]))
+    resumed = compute_ld_scores_streaming(
+        bed, pos.astype(np.float64), cfg, chunk_rows=16, resume_path=ck)
+    _assert_same(resumed, full)
