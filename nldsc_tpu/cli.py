@@ -177,5 +177,34 @@ def est_h2(sumstats, ref_ld, w_ld, strategy, chisq_max, n_blocks,
         samp_prev=samp_prev, pop_prev=pop_prev)
 
 
+@main.command("convert",
+              help="Convert LD scores between nldsc-tpu .L2 and original "
+                   "ldsc .l2.ldscore.gz formats (the reference's "
+                   "never-written ld_converter)")
+@click.option("--to-ldsc", "to_ldsc_", metavar="OUT_PREFIX", default=None,
+              help="Write ldsc-format files at this prefix")
+@click.option("--from-ldsc", "from_ldsc_", metavar="PREFIX", default=None,
+              help="Read ldsc-format files from this prefix")
+@click.option("-i", "--input", "input_", metavar="FILE", default=None,
+              help="Input .L2 file (with --to-ldsc)")
+@click.option("-o", "--out", metavar="FILE", default=None,
+              help="Output .L2 file (with --from-ldsc)")
+@click.option("--display", is_flag=True, default=False, help="Display traceback")
+@handle_exception
+def convert(to_ldsc_, from_ldsc_, input_, out):
+    from .io.convert import from_ldsc, to_ldsc  # noqa: PLC0415
+
+    if (to_ldsc_ is None) == (from_ldsc_ is None):
+        raise RuntimeError("Specify exactly one of --to-ldsc / --from-ldsc")
+    if to_ldsc_ is not None:
+        if input_ is None:
+            raise RuntimeError("--to-ldsc requires -i/--input <file.L2>")
+        to_ldsc(input_, to_ldsc_)
+    else:
+        if out is None:
+            raise RuntimeError("--from-ldsc requires -o/--out <file.L2>")
+        from_ldsc(from_ldsc_, out)
+
+
 if __name__ == "__main__":
     sys.exit(main())
