@@ -52,7 +52,7 @@ def tpu_pass(g_list, pos):
     amortized over len(g_list) compute passes.
 
     Uses the integer-exact symmetric engine (the default for fully-typed
-    data): bf16 MXU matmuls with exact integer accumulation + analytic
+    data): int8 MXU matmuls with exact int32 accumulation + analytic
     centering corrections.
     """
     import jax.numpy as jnp
@@ -76,7 +76,7 @@ def tpu_pass(g_list, pos):
             dom_ok, pre["add_sd_zero"], meta[3], meta[4],
             jnp.float32(RSQ_THR), block_size=BLOCK, band_k=band_k,
             right_k=right_k, n_samples=n, has_missing=False,
-            dot_dtype="bf16")
+            dot_dtype="int8")
         return out[0]
 
     t0 = time.time()

@@ -47,7 +47,9 @@ class LDConfig:
                                    # matmuls + analytic corrections);
                                    # None = auto (always on — fastest and
                                    # tightest on v5e)
-    int8_dot_dtype: str = "bf16"   # 'bf16' (exact, single-pass rate) | 'int8'
+    int8_dot_dtype: str = "int8"   # 'int8' (int8x8->int32 MXU, ~2x bf16
+                                   # rate on v5e, exact) | 'bf16' (exact
+                                   # f32 accumulation, N_pad <= 4M)
 
     def __post_init__(self):
         wind = float(self.ld_wind)

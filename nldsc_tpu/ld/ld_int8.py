@@ -181,7 +181,7 @@ def integer_corr_tiles(idot, gi_rows, mi_rows, gj_rows, mj_rows, hj_rows,
 def ld_scores_int8(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi, usable,
                    dom_ok, add_sd_zero, blk_lo, blk_hi, rsq_thr, *,
                    block_size: int, band_k: int, n_samples: int,
-                   has_missing: bool, dot_dtype: str = "bf16"):
+                   has_missing: bool, dot_dtype: str = "int8"):
     """Banded LD pass on integer matmuls (same contract as ld_scores_xla).
 
     ``dot_dtype``: 'int8' (int8×int8→int32 MXU) or 'bf16'
@@ -265,7 +265,7 @@ def ld_scores_int8(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi, usable,
 def ld_scores_int8_sym2(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi,
                         usable, dom_ok, add_sd_zero, blk_lo, blk_hi, rsq_thr,
                         *, block_size: int, right_k: int, n_samples: int,
-                        has_missing: bool, dot_dtype: str = "bf16"):
+                        has_missing: bool, dot_dtype: str = "int8"):
     """Two-pass symmetry-exploiting integer engine (no scan carry).
 
     Same pair algebra as :func:`ld_scores_int8_sym` (right half-band,
@@ -406,7 +406,7 @@ def ld_scores_int8_sym(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi,
                        usable, dom_ok, add_sd_zero, blk_lo, blk_hi, rsq_thr,
                        *, block_size: int, band_k: int, right_k: int,
                        n_samples: int, has_missing: bool,
-                       dot_dtype: str = "bf16"):
+                       dot_dtype: str = "int8"):
     """Symmetry-exploiting integer engine.
 
     Each pivot block multiplies only its RIGHT half-band; one tile yields

@@ -399,7 +399,7 @@ def _shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
 def _sharded_call(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
                   rsq_thr, n_samples, block_size, band_k, right_k,
                   halo_rows, precision, mesh, use_int8=False,
-                  symmetric=False, has_missing=True, dot_dtype="bf16"):
+                  symmetric=False, has_missing=True, dot_dtype="int8"):
     m_pad = g.shape[0]
     if use_int8 and symmetric:
         fn = partial(_shard_fn_int8_sym, maf_thr=maf_thr, std_thr=std_thr,
