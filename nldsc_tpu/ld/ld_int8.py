@@ -1,32 +1,48 @@
 """Integer-exact banded LD engine (int8 MXU path).
 
 Genotypes are small integers, so every pairwise dot product the LD pass
-needs is expressible through *integer* matmuls plus rank-1 analytic
-corrections — no f32 rounding inside the contraction at all:
+needs is expressible through *integer* matmuls plus analytic corrections —
+no f32 rounding inside the contraction at all.
 
-With ``g`` = additive codes (0 at missing/padding), ``m`` = missing
-indicator, ``h`` = dominance codes (0 at missing), and per-SNP scalars
-``am`` (additive mean), ``dm`` (dominance mean), ``slope`` (dominance OLS
-slope), ``sd`` (additive pop-sd), ``rstd`` (residual pop-sd):
+Additive.  With ``g`` = additive codes (0 at missing/padding), ``u`` = valid
+indicator, and per-SNP mean ``am``, the centered imputed vector is exactly
+``a_c = g − am·u`` (imputed positions center to 0), so
 
-  a_imp = g + am·m                    (mean imputation, incl. padding)
-  dot(a_imp_i, a_imp_j) = Sgg + am_j·Sgm + am_i·Smg + am_i·am_j·Smm
-  centered:  ac_ij = that − n_pad·am_i·am_j
+  ac_ij = dot(a_c_i, a_c_j) = Sgg − am_i·Sug − am_j·Sgu + am_i·am_j·Suu
   r_add = ac_ij / (n · sd_i · sd_j)
 
-  d_imp = h + dm·m
-  dot(a_imp_i, d_imp_j) = Sgh + dm_j·Sgm + am_i·Smh + am_i·dm_j·Smm
-  centered:  dc_ij = that − n_pad·am_i·dm_j
-  dot(a_c_i, r_c_j) = dc_ij − slope_j · ac_ij
+where Sgg is an int8×int8→int32 matmul and Sgu/Sug/Suu derive exactly from
+Sgm/Smg/Smm (``u = 1 − m``) plus per-SNP integer row sums.
+
+Dominance — the cancellation-free formulation.  The dominance residual
+``r = d_c − slope·a_c`` is a deterministic function of the genotype code:
+it takes exactly three values v0/v1/v2 (one per code class; 0 at imputed
+positions).  With class counts c0/c1/c2 (over valid samples) these values
+have exact closed forms (derived by eliminating slope = cov/var in counts):
+
+  Va = c0·c1 + 4·c0·c2 + c1·c2          ( = n_valid² · var(a), exact)
+  v0 = −2·c1·c2 / Va    v1 = 4·c0·c2 / Va    v2 = −2·c0·c1 / Va
+  slope = 2·c0·(c1 + 2·c2) / Va
+  Σ r² = 4·c0·c1·c2 / Va                ( = n · rstd², exact)
+
+so with class indicators e1 = h − g, e2 = g − h/2, e0 = u − h/2 (all exact
+integer combinations of already-needed matmuls):
+
+  dot(a_c_i, r_j) = Σ_c v_c_j · (dot(g_i, e_c_j) − am_i·dot(u_i, e_c_j))
   r_dom = that / (n · sd_i · rstd_j)
 
-where ``S**`` are int8×int8→int32 matmuls (Sgg, Sgm, Smg, Smm, Sgh, Smh).
-Values are exact: |dot| ≤ 4·n_pad < 2^31.  When the dataset has no missing
-genotypes (and no sample padding), the four ``m`` terms vanish and only
-Sgg/Sgh remain — 2 integer matmuls instead of 2 f32 matmuls.
+Why this beats the naive ``dc − slope_j·ac`` epilogue: the naive form
+subtracts two O(n·sd_i·sd_j) quantities whose f32 roundings are amplified
+by 1/rstd_j — observed l2d errors up to 3e-3 when a neighbor's residual sd
+sits just above ``std_thr`` (round-1 root cause).  Here every term is
+already O(n·sd_i·rstd_j): each class fluctuation ``dot(g_i,e_c) −
+am_i·dot(u_i,e_c)`` is exact-integer minus one rounded product, and
+|v_c| ≤ rstd·√(n/n_c), so the worst-case absolute error on r_dom is
+~2·eps·(am_i/sd_i) ≲ 1e-5 — uniform in rstd.  (Each S** is exact: codes
+≤ 2, |dot| ≤ 4·n_pad < 2^24; differences of exact f32 integers are exact.)
 
-Accuracy: the only roundings are the per-SNP scalar corrections (f32),
-giving ~1e-7 relative error — *tighter* than the reference's fp32 sdot.
+When the dataset has no missing genotypes (and zero sample padding), the
+``m`` terms vanish: 2 integer matmuls per tile (Sgg, Sgh), same as before.
 Speed: int8 MXU throughput is several-fold the f32 multi-pass rate.
 """
 
@@ -39,6 +55,76 @@ import jax.numpy as jnp
 from jax import lax
 
 from .ld_xla import finalize_outputs
+
+#: per-SNP f32 scalar fields the engines consume, in stacking order
+SCAL_FIELDS = ("am", "inv_sd", "inv_rstd", "v0", "v1", "v2",
+               "gsum", "hsum", "cm")
+
+
+def dom_class_stats(c0, c1, c2):
+    """Exact closed forms of the dominance statistics in class counts.
+
+    c0/c1/c2 : f32 exact-integer counts of genotype codes 0/1/2 among the
+    valid (non-missing) samples of each SNP.  Returns
+    ``(va, slope, rvar_sum, v0, v1, v2)`` where ``va = n_valid²·var(a)``,
+    ``rvar_sum = Σ residual² ( = n·rstd²)`` and v0/v1/v2 are the residual
+    values at codes 0/1/2.  All quantities are ratios of exact-integer
+    products (~1e-7 relative error, no cancellation; reference semantics:
+    ``tools.h:54-85``, ``encoder.h:130``).
+    """
+    va = c0 * c1 + 4.0 * c0 * c2 + c1 * c2
+    inv = 1.0 / jnp.where(va > 0, va, 1.0)
+    v0 = -2.0 * c1 * c2 * inv
+    v1 = 4.0 * c0 * c2 * inv
+    v2 = -2.0 * c0 * c1 * inv
+    rvar_sum = 4.0 * c0 * c1 * c2 * inv
+    slope = 2.0 * c0 * (c1 + 2.0 * c2) * inv
+    return va, slope, rvar_sum, v0, v1, v2
+
+
+def finish_preprocess_int8(n_valid_raw, c1, c2, cm, pos_ok, maf_thr,
+                           n_samples: int, n_pad_cols: int):
+    """Per-SNP scalar statistics from the three class counts.
+
+    Shared by the in-core preprocess and the sample-sharded moment passes
+    (where the counts arrive as psum'd shard partials).  Returns the
+    per-SNP part of the engine input dict.
+    """
+    n = jnp.float32(n_samples)
+    # reference semantics for an ALL-missing SNP: NaN mean -> the MAF drop
+    # test is false -> stays usable as an additive-sum poison (see
+    # preprocess.preprocess_block)
+    all_missing = n_valid_raw == 0
+    n_valid = jnp.maximum(n_valid_raw, 1.0)
+    c0 = n_valid - c1 - c2
+    gsum = c1 + 2.0 * c2
+    hsum = 2.0 * (c1 + c2)
+    am = gsum / n_valid
+
+    f2 = am * 0.5
+    maf = jnp.minimum(f2, 1.0 - f2)
+    usable = pos_ok & ((maf > maf_thr) | all_missing)
+
+    va, _slope, rvar_sum, v0, v1, v2 = dom_class_stats(c0, c1, c2)
+    var_a_sum = va / n_valid                 # = Σ (a_imp − am)², exact form
+    add_sd = jnp.sqrt(var_a_sum / n)
+    add_sd_zero = usable & ((va <= 0.0) | all_missing)
+    rstd = jnp.sqrt(rvar_sum / n)
+
+    inv_sd = jnp.where((add_sd > 0) & usable,
+                       1.0 / jnp.where(add_sd > 0, add_sd, 1.0), 0.0)
+    inv_rstd = jnp.where((rstd > 0) & usable & ~add_sd_zero,
+                         1.0 / jnp.where(rstd > 0, rstd, 1.0), 0.0)
+
+    nan = jnp.float32(jnp.nan)
+    return {
+        "am": am, "inv_sd": inv_sd, "inv_rstd": inv_rstd,
+        "v0": v0, "v1": v1, "v2": v2,
+        "gsum": gsum, "hsum": hsum, "cm": cm,
+        "maf": jnp.where(pos_ok & ~all_missing, maf, nan),
+        "rstd": jnp.where(usable & ~add_sd_zero, rstd, nan),
+        "usable": usable, "add_sd_zero": add_sd_zero,
+    }
 
 
 @partial(jax.jit, static_argnames=("n_samples", "assume_no_missing"))
@@ -54,83 +140,53 @@ def preprocess_int8(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array,
     negative codes anywhere (zero-pad rows/columns instead): ``g`` is
     returned as-is (no masked copy) and the missing-indicator slot aliases
     ``g`` (it is never read by the no-missing kernel branches), removing
-    two of the three O(M·N) int8 materializations.  The correction
-    algebra is invariant: with zero padding and no missing,
-    ``sgg − n·am_i·am_j`` ≡ ``sgg + am_i·am_j·pad_miss − n_pad·am_i·am_j``.
+    two of the three O(M·N) int8 materializations.
     """
     g = genotypes
-    n = jnp.float32(n_samples)
 
     if assume_no_missing:
         gq = g
         mq = g                      # alias; dead in no-missing kernels
         hq = (2 * jnp.minimum(g, 1)).astype(jnp.int8)
         cm = jnp.full(g.shape[0], jnp.float32(g.shape[1] - n_samples))
+        n_valid_raw = jnp.full(g.shape[0], jnp.float32(n_samples))
     else:
         valid = g >= 0
         gq = jnp.where(valid, g, 0).astype(jnp.int8)
         mq = (~valid).astype(jnp.int8)
         hq = jnp.where(valid, 2 * jnp.minimum(g, 1), 0).astype(jnp.int8)
         cm = jnp.sum(~valid, axis=1, dtype=jnp.float32)  # incl padding
+        n_valid_raw = jnp.float32(g.shape[1]) - cm
 
     # every per-row moment is a closed form of THREE counts over the int8
-    # codes (one fused read of g instead of five f32 passes):
-    #   Σg = c1 + 2c2;  Σg² = c1 + 4c2;  h = 2·min(g,1):
-    #   Σh = Σgh/… = 2(c1+c2);  Σh² = 4(c1+c2);  Σgh = 2c1 + 4c2
+    # codes (one fused read of g instead of five f32 passes)
     c1 = jnp.sum(gq == 1, axis=1, dtype=jnp.float32)
     c2 = jnp.sum(gq == 2, axis=1, dtype=jnp.float32)
 
-    n_valid_raw = jnp.float32(g.shape[1]) - cm
-    # reference semantics for an ALL-missing SNP: NaN mean -> the MAF drop
-    # test is false -> stays usable as an additive-sum poison (see
-    # preprocess.preprocess_block)
-    all_missing = n_valid_raw == 0
-    n_valid = jnp.maximum(n_valid_raw, 1.0)
-    add_sum = c1 + 2.0 * c2
-    dom_sum = 2.0 * (c1 + c2)
-    am = add_sum / n_valid
-    dm = dom_sum / n_valid
-
-    f2 = am * 0.5
-    maf = jnp.minimum(f2, 1.0 - f2)
-    usable = pos_ok & ((maf > maf_thr) | all_missing)
-
-    # population moments of the imputed vectors via the same decomposition
-    # (exact integer second moments + rank-1 corrections)
-    sgg = c1 + 4.0 * c2                                 # dot(g, g), exact
-    sgh = 2.0 * c1 + 4.0 * c2                           # dot(g, h), exact
-    n_miss = cm                                          # incl padding
-    n_pad = jnp.float32(g.shape[1])
-    # dot(a_imp, a_imp) = sgg + am^2 * n_missing_total
-    var_a_sum = sgg + am * am * n_miss - n_pad * am * am
-    cov_ad_sum = sgh + am * dm * n_miss - n_pad * am * dm
-
-    add_sd = jnp.sqrt(jnp.maximum(var_a_sum, 0.0) / n)
-    add_sd_zero = usable & ((var_a_sum <= 0.0) | all_missing)
-    safe_var = jnp.where(var_a_sum > 0, var_a_sum, 1.0)
-    slope = cov_ad_sum / safe_var
-
-    # residual variance: var(d) - slope * cov(a, d)  (1-D OLS identity)
-    shh = 4.0 * (c1 + c2)
-    var_d_sum = shh + dm * dm * n_miss - n_pad * dm * dm
-    rvar_sum = var_d_sum - slope * cov_ad_sum
-    rstd = jnp.sqrt(jnp.maximum(rvar_sum, 0.0) / n)
-
-    inv_sd = jnp.where((add_sd > 0) & usable, 1.0 / jnp.where(add_sd > 0, add_sd, 1.0), 0.0)
-    inv_rstd = jnp.where((rstd > 0) & usable & ~add_sd_zero,
-                         1.0 / jnp.where(rstd > 0, rstd, 1.0), 0.0)
-
-    nan = jnp.float32(jnp.nan)
-    return {
+    out = finish_preprocess_int8(n_valid_raw, c1, c2, cm, pos_ok, maf_thr,
+                                 n_samples, g.shape[1])
+    out.update({
         "g": gq, "m": mq, "h": hq,
-        "am": am, "dm": dm, "slope": slope,
-        "inv_sd": inv_sd, "inv_rstd": inv_rstd,
-        "maf": jnp.where(pos_ok & ~all_missing, maf, nan),
-        "rstd": jnp.where(usable & ~add_sd_zero, rstd, nan),
-        "usable": usable, "add_sd_zero": add_sd_zero,
         "has_missing": (jnp.array(False) if assume_no_missing
                         else jnp.any(mq > 0)),
-    }
+    })
+    return out
+
+
+def stack_scalars(pre: dict) -> jax.Array:
+    """Stack the per-SNP engine scalars into one (M, 9) f32 matrix."""
+    return jnp.stack([pre[k] for k in SCAL_FIELDS], axis=1)
+
+
+def scal_views(mat: jax.Array, orient: str) -> dict[str, jax.Array]:
+    """Broadcastable per-field views of a sliced (rows, 9) scalar matrix.
+
+    ``orient='col'`` gives (rows, 1) pivot-side vectors, ``'row'`` gives
+    (1, rows) neighbor-side vectors.
+    """
+    if orient == "row":
+        return {k: mat[:, i][None, :] for i, k in enumerate(SCAL_FIELDS)}
+    return {k: mat[:, i][:, None] for i, k in enumerate(SCAL_FIELDS)}
 
 
 def make_idot(dot_dtype: str):
@@ -149,41 +205,92 @@ def make_idot(dot_dtype: str):
     return idot
 
 
-def integer_corr_tiles(idot, gi_rows, mi_rows, gj_rows, mj_rows, hj_rows,
-                       am_i, am_j, dm_j, slope_j, inv_sd_i, inv_sd_j,
-                       inv_rstd_j, n, n_padf, pad_miss, has_missing: bool):
-    """(r_add, r_dom) correlation tiles from integer matmuls + corrections.
+def _dom_dot(sgg, sgh, sgu, sug, suh, suu, am_i, v0_j, v1_j, v2_j):
+    """dot(a_c_i, r_j) over the genotype classes of j (see module doc).
 
-    Row operands are the pivot rows, column operands the neighbor band;
-    shapes: gi (B, Np), gj/mj/hj (W, Np); scalars broadcast (B,1)/(1,W).
+    Arguments are the EXACT f32-integer dots dot(g_i,·)/dot(u_i,·) against
+    g_j / u_j / h_j; class indicators enter as exact integer combinations
+    e1 = h − g, e2 = g − h/2, e0 = u − h/2 (h is even ⇒ halving exact).
     """
-    sgg = idot(gi_rows, gj_rows)
-    sgh = idot(gi_rows, hj_rows)
+    a1 = (sgh - sgg) - am_i * (suh - sug)
+    a2 = (sgg - 0.5 * sgh) - am_i * (sug - 0.5 * suh)
+    a0 = (sgu - 0.5 * sgh) - am_i * (suu - 0.5 * suh)
+    return v0_j * a0 + v1_j * a1 + v2_j * a2
+
+
+def corr_from_dots(dots: dict, sc_i: dict, sc_j: dict, n, n_padf,
+                   has_missing: bool, symmetric: bool = False):
+    """(r_add, r_domA[, r_domB]) tiles from exact integer S-matrices.
+
+    ``dots`` needs keys sgg, sgh (+ shg when symmetric; + sgm, smg, smm,
+    smh (+ shm when symmetric) when has_missing).  ``sc_i``/``sc_j`` are
+    broadcastable per-SNP scalar dicts (:func:`scal_views`).
+    r_domA pairs (additive of pivot i) × (residual of neighbor j) — the
+    reference orientation (ldscalc.h:38-41); r_domB the mirror.
+    """
+    sgg, sgh = dots["sgg"], dots["sgh"]
+    am_i, am_j = sc_i["am"], sc_j["am"]
     if has_missing:
-        sgm = idot(gi_rows, mj_rows)
-        smg = idot(mi_rows, gj_rows)
-        smm = idot(mi_rows, mj_rows)
-        smh = idot(mi_rows, hj_rows)
-        a_dot = sgg + am_j * sgm + am_i * smg + am_i * am_j * smm
-        d_dot = sgh + dm_j * sgm + am_i * smh + am_i * dm_j * smm
+        # u = 1 − m: every u-dot is exact-integer arithmetic on S-matrices
+        # and per-SNP integer sums
+        sgu = sc_i["gsum"] - dots["sgm"]
+        sug = sc_j["gsum"] - dots["smg"]
+        suh = sc_j["hsum"] - dots["smh"]
+        suu = n_padf - sc_i["cm"] - sc_j["cm"] + dots["smm"]
     else:
-        a_dot = sgg + am_i * am_j * pad_miss
-        d_dot = sgh + am_i * dm_j * pad_miss
-    ac = a_dot - n_padf * am_i * am_j
-    dc = d_dot - n_padf * am_i * dm_j
-    r_add = ac * inv_sd_i * inv_sd_j / n
-    r_dom = (dc - slope_j * ac) * inv_sd_i * inv_rstd_j / n
-    return r_add, r_dom
+        sgu = sc_i["gsum"]
+        sug = sc_j["gsum"]
+        suh = sc_j["hsum"]
+        suu = n
+
+    ac = sgg - am_i * sug - am_j * sgu + am_i * am_j * suu
+    r_add = ac * sc_i["inv_sd"] * sc_j["inv_sd"] / n
+    dom_a = _dom_dot(sgg, sgh, sgu, sug, suh, suu, am_i,
+                     sc_j["v0"], sc_j["v1"], sc_j["v2"])
+    r_dom_a = dom_a * sc_i["inv_sd"] * sc_j["inv_rstd"] / n
+    if not symmetric:
+        return r_add, r_dom_a
+
+    shg = dots["shg"]
+    shu = (sc_i["hsum"] - dots["shm"]) if has_missing else sc_i["hsum"]
+    # mirrored pair: same identity with the roles of i and j swapped
+    # (dot(r_i, a_c_j); note dot(e_c_i, g_j) uses shg/sug, dot(e_c_i, u_j)
+    # uses shu/sgu)
+    dom_b = _dom_dot(sgg, shg, sug, sgu, shu, suu, am_j,
+                     sc_i["v0"], sc_i["v1"], sc_i["v2"])
+    r_dom_b = dom_b * sc_i["inv_rstd"] * sc_j["inv_sd"] / n
+    return r_add, r_dom_a, r_dom_b
+
+
+def corr_tiles(idot, g_i, m_i, h_i, g_j, m_j, h_j, sc_i, sc_j, n, n_padf,
+               has_missing: bool, symmetric: bool = False):
+    """Integer matmuls + :func:`corr_from_dots` epilogue in one call.
+
+    ``h_i`` may be None when not symmetric.  Row operands are the pivot
+    rows, column operands the neighbor band; shapes: g_i (B, Np),
+    g_j/m_j/h_j (W, Np); scalars broadcast (B,1)/(1,W).
+    """
+    dots = {"sgg": idot(g_i, g_j), "sgh": idot(g_i, h_j)}
+    if symmetric:
+        dots["shg"] = idot(h_i, g_j)
+    if has_missing:
+        dots["sgm"] = idot(g_i, m_j)
+        dots["smg"] = idot(m_i, g_j)
+        dots["smm"] = idot(m_i, m_j)
+        dots["smh"] = idot(m_i, h_j)
+        if symmetric:
+            dots["shm"] = idot(h_i, m_j)
+    return corr_from_dots(dots, sc_i, sc_j, n, n_padf, has_missing, symmetric)
 
 
 @partial(jax.jit, static_argnames=("block_size", "band_k", "n_samples",
                                    "has_missing", "dot_dtype"))
-def ld_scores_int8(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi, usable,
-                   dom_ok, add_sd_zero, blk_lo, blk_hi, rsq_thr, *,
-                   block_size: int, band_k: int, n_samples: int,
-                   has_missing: bool, dot_dtype: str = "int8"):
+def ld_scores_int8(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
+                   blk_lo, blk_hi, rsq_thr, *, block_size: int, band_k: int,
+                   n_samples: int, has_missing: bool, dot_dtype: str = "int8"):
     """Banded LD pass on integer matmuls (same contract as ld_scores_xla).
 
+    ``scal``: (M, 9) f32 per-SNP scalars (:func:`stack_scalars`).
     ``dot_dtype``: 'int8' (int8×int8→int32 MXU) or 'bf16'
     (bf16×bf16→f32 at single-pass rate).  BOTH are exact here: genotype
     codes {0,1,2} are exactly representable in bf16 and every partial sum
@@ -197,7 +304,6 @@ def ld_scores_int8(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi, usable,
     band_rows = min(band_k * B, m_pad)
     n = jnp.float32(n_samples)
     n_padf = jnp.float32(n_pad_cols)
-    pad_miss = jnp.float32(n_pad_cols - n_samples)
     adj_c = (n - 1.0) / (n - 2.0)
     idot = make_idot(dot_dtype)
 
@@ -209,8 +315,7 @@ def ld_scores_int8(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi, usable,
         lo_i = lax.dynamic_slice_in_dim(lo, r0, B)
         hi_i = lax.dynamic_slice_in_dim(hi, r0, B)
         usable_i = lax.dynamic_slice_in_dim(usable, r0, B)
-        am_i = lax.dynamic_slice_in_dim(am, r0, B)[:, None]
-        inv_sd_i = lax.dynamic_slice_in_dim(inv_sd, r0, B)[:, None]
+        sc_i = scal_views(lax.dynamic_slice_in_dim(scal, r0, B, axis=0), "col")
 
         j0 = jnp.clip(blk_lo[b] * B, 0, m_pad - band_rows)
         gj_rows = lax.dynamic_slice_in_dim(g, j0, band_rows, axis=0)
@@ -220,19 +325,12 @@ def ld_scores_int8(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi, usable,
         usable_j = lax.dynamic_slice_in_dim(usable, j0, band_rows)
         dom_ok_j = lax.dynamic_slice_in_dim(dom_ok, j0, band_rows)
         poison_j = lax.dynamic_slice_in_dim(add_sd_zero, j0, band_rows)
-        am_j = lax.dynamic_slice_in_dim(am, j0, band_rows)[None, :]
-        dm_j = lax.dynamic_slice_in_dim(dm, j0, band_rows)[None, :]
-        slope_j = lax.dynamic_slice_in_dim(slope, j0, band_rows)[None, :]
-        inv_sd_j = lax.dynamic_slice_in_dim(inv_sd, j0, band_rows)[None, :]
-        inv_rstd_j = lax.dynamic_slice_in_dim(inv_rstd, j0, band_rows)[None, :]
+        sc_j = scal_views(lax.dynamic_slice_in_dim(scal, j0, band_rows,
+                                                   axis=0), "row")
 
-        # no real missing: m is nonzero only on sample-padding columns,
-        # where g/h are zero — Sgm = Smg = Smh = 0 and Smm is the constant
-        # pad width, so the corrections collapse analytically
-        r_add, r_dom = integer_corr_tiles(
-            idot, gi_rows, mi_rows, gj_rows, mj_rows, hj_rows,
-            am_i, am_j, dm_j, slope_j, inv_sd_i, inv_sd_j, inv_rstd_j,
-            n, n_padf, pad_miss, has_missing)
+        r_add, r_dom = corr_tiles(
+            idot, gi_rows, mi_rows, None, gj_rows, mj_rows, hj_rows,
+            sc_i, sc_j, n, n_padf, has_missing)
 
         adj_add = 1.0 - (1.0 - r_add * r_add) * adj_c
         adj_dom = 1.0 - (1.0 - r_dom * r_dom) * adj_c
@@ -262,10 +360,10 @@ def ld_scores_int8(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi, usable,
 
 @partial(jax.jit, static_argnames=("block_size", "right_k", "n_samples",
                                    "has_missing", "dot_dtype"))
-def ld_scores_int8_sym2(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi,
-                        usable, dom_ok, add_sd_zero, blk_lo, blk_hi, rsq_thr,
-                        *, block_size: int, right_k: int, n_samples: int,
-                        has_missing: bool, dot_dtype: str = "int8"):
+def ld_scores_int8_sym2(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
+                        blk_lo, blk_hi, rsq_thr, *, block_size: int,
+                        right_k: int, n_samples: int, has_missing: bool,
+                        dot_dtype: str = "int8"):
     """Two-pass symmetry-exploiting integer engine (no scan carry).
 
     Same pair algebra as :func:`ld_scores_int8_sym` (right half-band,
@@ -305,11 +403,7 @@ def ld_scores_int8_sym2(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi,
         usable_i = sl(usable, r0, B)[:, None]
         poison_i = sl(add_sd_zero, r0, B)[:, None]
         dom_ok_i = sl(dom_ok, r0, B)[:, None]
-        am_i = sl(am, r0, B)[:, None]
-        dm_i = sl(dm, r0, B)[:, None]
-        slope_i = sl(slope, r0, B)[:, None]
-        inv_sd_i = sl(inv_sd, r0, B)[:, None]
-        inv_rstd_i = sl(inv_rstd, r0, B)[:, None]
+        sc_i = scal_views(lax.dynamic_slice_in_dim(scal, r0, B, axis=0), "col")
 
         j0 = jnp.minimum(r0, m_pad - right_rows)
         gj = j0 + jnp.arange(right_rows, dtype=jnp.int32)
@@ -319,40 +413,16 @@ def ld_scores_int8_sym2(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi,
         usable_j = sl(usable, j0, right_rows)[None, :]
         poison_j = sl(add_sd_zero, j0, right_rows)[None, :]
         dom_ok_j = sl(dom_ok, j0, right_rows)[None, :]
-        am_j = sl(am, j0, right_rows)[None, :]
-        dm_j = sl(dm, j0, right_rows)[None, :]
-        slope_j = sl(slope, j0, right_rows)[None, :]
-        inv_sd_j = sl(inv_sd, j0, right_rows)[None, :]
-        inv_rstd_j = sl(inv_rstd, j0, right_rows)[None, :]
+        sc_j = scal_views(lax.dynamic_slice_in_dim(scal, j0, right_rows,
+                                                   axis=0), "row")
 
-        sgg = idot(g_i, g_j)
-        sgh = idot(g_i, h_j)
-        shg = idot(h_i, g_j)
-        if has_missing:
-            sgm = idot(g_i, m_j)
-            smg = idot(m_i, g_j)
-            smm = idot(m_i, m_j)
-            smh = idot(m_i, h_j)
-            shm = idot(h_i, m_j)
-            a_dot = sgg + am_j * sgm + am_i * smg + am_i * am_j * smm
-            dA = sgh + dm_j * sgm + am_i * smh + am_i * dm_j * smm
-            dB = shg + am_j * shm + dm_i * smg + dm_i * am_j * smm
-        else:
-            pad_miss = jnp.float32(n_pad_cols - n_samples)
-            a_dot = sgg + am_i * am_j * pad_miss
-            dA = sgh + am_i * dm_j * pad_miss
-            dB = shg + dm_i * am_j * pad_miss
-
-        ac = a_dot - n_padf * am_i * am_j
-        dcA = dA - n_padf * am_i * dm_j
-        dcB = dB - n_padf * dm_i * am_j
-        r_add = ac * inv_sd_i * inv_sd_j / n
-        r_domA = (dcA - slope_j * ac) * inv_sd_i * inv_rstd_j / n
-        r_domB = (dcB - slope_i * ac) * inv_rstd_i * inv_sd_j / n
+        r_add, r_dom_a, r_dom_b = corr_tiles(
+            idot, g_i, m_i, h_i, g_j, m_j, h_j, sc_i, sc_j, n, n_padf,
+            has_missing, symmetric=True)
 
         adj_add = 1.0 - (1.0 - r_add * r_add) * adj_c
-        adj_dA = 1.0 - (1.0 - r_domA * r_domA) * adj_c
-        adj_dB = 1.0 - (1.0 - r_domB * r_domB) * adj_c
+        adj_dA = 1.0 - (1.0 - r_dom_a * r_dom_a) * adj_c
+        adj_dB = 1.0 - (1.0 - r_dom_b * r_dom_b) * adj_c
 
         in_win = (gj[None, :] >= lo_i) & (gj[None, :] <= hi_i)
         upair = in_win & usable_j & usable_i
@@ -402,11 +472,10 @@ def ld_scores_int8_sym2(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi,
 
 @partial(jax.jit, static_argnames=("block_size", "band_k", "right_k",
                                    "n_samples", "has_missing", "dot_dtype"))
-def ld_scores_int8_sym(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi,
-                       usable, dom_ok, add_sd_zero, blk_lo, blk_hi, rsq_thr,
-                       *, block_size: int, band_k: int, right_k: int,
-                       n_samples: int, has_missing: bool,
-                       dot_dtype: str = "int8"):
+def ld_scores_int8_sym(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
+                       blk_lo, blk_hi, rsq_thr, *, block_size: int,
+                       band_k: int, right_k: int, n_samples: int,
+                       has_missing: bool, dot_dtype: str = "int8"):
     """Symmetry-exploiting integer engine.
 
     Each pivot block multiplies only its RIGHT half-band; one tile yields
@@ -414,9 +483,9 @@ def ld_scores_int8_sym(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi,
 
       additive     — ``ac`` is symmetric: row sums credit the pivot rows,
                      column sums credit the mirrored pairs;
-      dominance A  — (pivot-row additive) × (col residual) from ``Sgh``;
-      dominance B  — (col additive) × (row residual) from ``Shg`` and the
-                     transposed corrections, using ``ac_ji = ac_ij``.
+      dominance A  — (pivot-row additive) × (col residual);
+      dominance B  — (col additive) × (row residual), from ``Shg`` and the
+                     transposed class decomposition.
 
     Half-band matmuls: 3 (Sgg, Sgh, Shg) without missing, 8 with — vs the
     full-band engine's 2 / 6 — a 4/3 (resp. 3/2) flop reduction.
@@ -448,11 +517,7 @@ def ld_scores_int8_sym(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi,
         usable_i = sl(usable, r0, B)[:, None]
         poison_i = sl(add_sd_zero, r0, B)[:, None]
         dom_ok_i = sl(dom_ok, r0, B)[:, None]
-        am_i = sl(am, r0, B)[:, None]
-        dm_i = sl(dm, r0, B)[:, None]
-        slope_i = sl(slope, r0, B)[:, None]
-        inv_sd_i = sl(inv_sd, r0, B)[:, None]
-        inv_rstd_i = sl(inv_rstd, r0, B)[:, None]
+        sc_i = scal_views(lax.dynamic_slice_in_dim(scal, r0, B, axis=0), "col")
 
         j0 = jnp.minimum(r0, m_pad - right_rows)
         gj = j0 + jnp.arange(right_rows, dtype=jnp.int32)
@@ -462,40 +527,16 @@ def ld_scores_int8_sym(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi,
         usable_j = sl(usable, j0, right_rows)[None, :]
         poison_j = sl(add_sd_zero, j0, right_rows)[None, :]
         dom_ok_j = sl(dom_ok, j0, right_rows)[None, :]
-        am_j = sl(am, j0, right_rows)[None, :]
-        dm_j = sl(dm, j0, right_rows)[None, :]
-        slope_j = sl(slope, j0, right_rows)[None, :]
-        inv_sd_j = sl(inv_sd, j0, right_rows)[None, :]
-        inv_rstd_j = sl(inv_rstd, j0, right_rows)[None, :]
+        sc_j = scal_views(lax.dynamic_slice_in_dim(scal, j0, right_rows,
+                                                   axis=0), "row")
 
-        sgg = idot(g_i, g_j)
-        sgh = idot(g_i, h_j)
-        shg = idot(h_i, g_j)
-        if has_missing:
-            sgm = idot(g_i, m_j)
-            smg = idot(m_i, g_j)
-            smm = idot(m_i, m_j)
-            smh = idot(m_i, h_j)
-            shm = idot(h_i, m_j)
-            a_dot = sgg + am_j * sgm + am_i * smg + am_i * am_j * smm
-            dA = sgh + dm_j * sgm + am_i * smh + am_i * dm_j * smm
-            dB = shg + am_j * shm + dm_i * smg + dm_i * am_j * smm
-        else:
-            pad_miss = jnp.float32(n_pad_cols - n_samples)
-            a_dot = sgg + am_i * am_j * pad_miss
-            dA = sgh + am_i * dm_j * pad_miss
-            dB = shg + dm_i * am_j * pad_miss
-
-        ac = a_dot - n_padf * am_i * am_j
-        dcA = dA - n_padf * am_i * dm_j      # dot(a_c_i, d_c_j)
-        dcB = dB - n_padf * dm_i * am_j      # dot(d_c_i, a_c_j) = dot(a_c_j, d_c_i)
-        r_add = ac * inv_sd_i * inv_sd_j / n
-        r_domA = (dcA - slope_j * ac) * inv_sd_i * inv_rstd_j / n
-        r_domB = (dcB - slope_i * ac) * inv_rstd_i * inv_sd_j / n
+        r_add, r_dom_a, r_dom_b = corr_tiles(
+            idot, g_i, m_i, h_i, g_j, m_j, h_j, sc_i, sc_j, n, n_padf,
+            has_missing, symmetric=True)
 
         adj_add = 1.0 - (1.0 - r_add * r_add) * adj_c
-        adj_dA = 1.0 - (1.0 - r_domA * r_domA) * adj_c
-        adj_dB = 1.0 - (1.0 - r_domB * r_domB) * adj_c
+        adj_dA = 1.0 - (1.0 - r_dom_a * r_dom_a) * adj_c
+        adj_dB = 1.0 - (1.0 - r_dom_b * r_dom_b) * adj_c
 
         in_win = (gj[None, :] >= lo_i) & (gj[None, :] <= hi_i)
         upair = in_win & usable_j & usable_i

@@ -5,13 +5,14 @@ Combines the two fastest ideas in one kernel:
 * contractions as bf16×bf16→f32 MXU matmuls over integer genotype codes —
   bit-exact (codes ∈ {0,1,2}, partial sums integer < 2²⁴) at single-pass
   MXU rate (``ld_int8.py`` module docstring has the algebra);
-* the rank-1 imputation/centering corrections, adjusted-r² epilogue,
-  window masks, and row-sum accumulation fused in VMEM — no (B×B)
-  correlation tile ever reaches HBM.
+* the centering corrections, the cancellation-free class-decomposed
+  dominance epilogue (:func:`nldsc_tpu.ld.ld_int8.corr_from_dots`),
+  adjusted-r², window masks, and row-sum accumulation fused in VMEM — no
+  (B×B) correlation tile ever reaches HBM.
 
 Layouts follow ``ld_pallas.py``: scalar-prefetched band bounds, packed
-(nb, 8, B) int32 window/usability metadata, packed (nb, 8, B) f32 per-SNP
-scalars (am, dm, slope, inv_sd, inv_rstd), packed (nb, 8, B) f32 outputs.
+(nb, 8, B) int32 window/usability metadata, packed (nb, 16, B) f32 per-SNP
+scalars (``SCAL_FIELDS``), packed (nb, 8, B) f32 outputs.
 Grid ``(n_blocks, band_k, n_chunks)``.
 
 The no-missing variant accumulates 2 integer matmuls per tile (Sgg, Sgh);
@@ -30,9 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .ld_pallas import _L2, _L2D, _WS, _WSD, _WSE, _POI, pack_metadata
 from .ld_xla import finalize_outputs
+from .ld_int8 import SCAL_FIELDS, corr_from_dots
 
-# f32 scalar metadata rows
-_AM, _DM, _SLOPE, _INV_SD, _INV_RSTD = range(5)
 _LO, _HI, _USABLE, _DOM_OK, _POISON = range(5)
 
 
@@ -45,7 +45,7 @@ def _bdot(x, y):
 def _kernel(blk_lo_ref, blk_hi_ref,
             gi_ref, mi_ref, gj_ref, mj_ref, hj_ref,       # int8 tiles (B, Nc)
             meta_i_ref, meta_j_ref,                        # int32 (1, 8, B)
-            scal_i_ref, scal_j_ref,                        # f32 (1, 8, B)
+            scal_i_ref, scal_j_ref,                        # f32 (1, 16, B)
             out_ref,                                       # f32 (1, 8, B)
             *accs,                                         # VMEM scratch
             n_samples: int, n_pad_cols: int, rsq_thr: float,
@@ -82,28 +82,16 @@ def _kernel(blk_lo_ref, blk_hi_ref,
         n_padf = jnp.float32(n_pad_cols)
         adj_c = (n - 1.0) / (n - 2.0)
 
-        am_i = scal_i_ref[0, _AM, :][:, None]
-        inv_sd_i = scal_i_ref[0, _INV_SD, :][:, None]
-        am_j = scal_j_ref[0, _AM, :][None, :]
-        dm_j = scal_j_ref[0, _DM, :][None, :]
-        slope_j = scal_j_ref[0, _SLOPE, :][None, :]
-        inv_sd_j = scal_j_ref[0, _INV_SD, :][None, :]
-        inv_rstd_j = scal_j_ref[0, _INV_RSTD, :][None, :]
-
+        sc_i = {f: scal_i_ref[0, i, :][:, None]
+                for i, f in enumerate(SCAL_FIELDS)}
+        sc_j = {f: scal_j_ref[0, i, :][None, :]
+                for i, f in enumerate(SCAL_FIELDS)}
+        dots = {"sgg": acc_gg[...], "sgh": acc_gh[...]}
         if has_missing:
-            a_dot = (acc_gg[...] + am_j * acc_gm[...] + am_i * acc_mg[...]
-                     + am_i * am_j * acc_mm[...])
-            d_dot = (acc_gh[...] + dm_j * acc_gm[...] + am_i * acc_mh[...]
-                     + am_i * dm_j * acc_mm[...])
-        else:
-            pad_miss = jnp.float32(n_pad_cols - n_samples)
-            a_dot = acc_gg[...] + am_i * am_j * pad_miss
-            d_dot = acc_gh[...] + am_i * dm_j * pad_miss
-
-        ac = a_dot - n_padf * am_i * am_j
-        dc = d_dot - n_padf * am_i * dm_j
-        r_add = ac * inv_sd_i * inv_sd_j / n
-        r_dom = (dc - slope_j * ac) * inv_sd_i * inv_rstd_j / n
+            dots.update(sgm=acc_gm[...], smg=acc_mg[...],
+                        smm=acc_mm[...], smh=acc_mh[...])
+        r_add, r_dom = corr_from_dots(dots, sc_i, sc_j, n, n_padf,
+                                      has_missing)
         adj_add = 1.0 - (1.0 - r_add * r_add) * adj_c
         adj_dom = 1.0 - (1.0 - r_dom * r_dom) * adj_c
 
@@ -138,18 +126,20 @@ def _kernel(blk_lo_ref, blk_hi_ref,
             (pair & poison_j).astype(jnp.float32), axis=1)
 
 
-def pack_scalars(am, dm, slope, inv_sd, inv_rstd, nb: int, B: int):
-    zeros = jnp.zeros_like(am)
-    fields = [am, dm, slope, inv_sd, inv_rstd, zeros, zeros, zeros]
-    return jnp.stack([f.reshape(nb, B) for f in fields], axis=1)
+def pack_scalars(scal, nb: int, B: int):
+    """(M, 9) scalar matrix -> (nb, 16, B) sublane-aligned packing."""
+    rows = [scal[:, i].reshape(nb, B) for i in range(scal.shape[1])]
+    zeros = jnp.zeros((nb, B), scal.dtype)
+    rows += [zeros] * (16 - len(rows))
+    return jnp.stack(rows, axis=1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("rsq_thr", "block_size", "band_k", "n_samples",
                      "sample_chunk", "interpret", "has_missing"))
-def ld_scores_pallas_int8(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi,
-                          usable, dom_ok, add_sd_zero, blk_lo, blk_hi, *,
+def ld_scores_pallas_int8(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
+                          blk_lo, blk_hi, *,
                           rsq_thr: float, block_size: int, band_k: int,
                           n_samples: int, sample_chunk: int = 1024,
                           interpret: bool = False, has_missing: bool = True):
@@ -165,7 +155,7 @@ def ld_scores_pallas_int8(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi,
     n_chunks = n_pad // nc
 
     meta = pack_metadata(lo, hi, usable, dom_ok, add_sd_zero, nb, B)
-    scal = pack_scalars(am, dm, slope, inv_sd, inv_rstd, nb, B)
+    scal_p = pack_scalars(scal, nb, B)
 
     kern = functools.partial(
         _kernel, n_samples=n_samples, n_pad_cols=n_pad,
@@ -195,8 +185,8 @@ def ld_scores_pallas_int8(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi,
             pl.BlockSpec((B, nc), nbr_map),          # h neighbor
             pl.BlockSpec((1, 8, B), meta_i_map),
             pl.BlockSpec((1, 8, B), meta_j_map),
-            pl.BlockSpec((1, 8, B), meta_i_map),     # scalars pivot
-            pl.BlockSpec((1, 8, B), meta_j_map),     # scalars neighbor
+            pl.BlockSpec((1, 16, B), meta_i_map),    # scalars pivot
+            pl.BlockSpec((1, 16, B), meta_j_map),    # scalars neighbor
         ],
         out_specs=pl.BlockSpec((1, 8, B), meta_i_map),
         scratch_shapes=[pltpu.VMEM((B, B), jnp.float32)] * n_acc,
@@ -214,7 +204,7 @@ def ld_scores_pallas_int8(g, m, h, am, dm, slope, inv_sd, inv_rstd, lo, hi,
             flops=2 * n_acc * m_pad * band_k * B * n_pad,
             bytes_accessed=5 * m_pad * n_pad, transcendentals=0),
         interpret=interpret,
-    )(blk_lo, blk_hi, g, m, g, m, h, meta, meta, scal, scal)
+    )(blk_lo, blk_hi, g, m, g, m, h, meta, meta, scal_p, scal_p)
 
     fields = out.transpose(1, 0, 2).reshape(8, m_pad)
     l2_acc, l2d_acc = fields[_L2], fields[_L2D]

@@ -101,8 +101,7 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
             n_samples=n, assume_no_missing=not has_missing)
         dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
         int8_args = (
-            pre["g"], pre["m"], pre["h"], pre["am"], pre["dm"], pre["slope"],
-            pre["inv_sd"], pre["inv_rstd"],
+            pre["g"], pre["m"], pre["h"], ld_int8.stack_scalars(pre),
             jnp.asarray(lo_pad), jnp.asarray(hi_pad), pre["usable"], dom_ok,
             pre["add_sd_zero"], jnp.asarray(blk_lo), jnp.asarray(blk_hi),
             jnp.float32(config.rsq_thr))

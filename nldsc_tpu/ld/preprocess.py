@@ -68,21 +68,31 @@ def preprocess_block(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array
     maf = jnp.minimum(f2, 1.0 - f2)
     usable = pos_ok & ((maf > maf_thr) | all_missing)
 
-    # mean-impute missing AND sample padding; imputed mean == column mean
+    # mean-impute missing AND sample padding; imputed values center to 0
     a = jnp.where(valid, gf, add_mean[:, None])
-    d = jnp.where(valid, 2.0 * jnp.minimum(gf, 1.0), dom_mean[:, None])
     a_c = a - add_mean[:, None]
-    d_c = d - dom_mean[:, None]
 
-    var_a_sum = jnp.sum(a_c * a_c, axis=1)            # = n * population var
-    cov_ad_sum = jnp.sum(a_c * d_c, axis=1)
+    # dominance statistics via the exact class-count closed forms (the
+    # elementwise d_c − slope·a_c formulation cancels catastrophically when
+    # the residual sd is tiny — see ld_int8.dom_class_stats): the residual
+    # is a function of the genotype code, r = v0/v1/v2 at codes 0/1/2 and
+    # 0 at imputed positions.
+    from .ld_int8 import dom_class_stats  # noqa: PLC0415
+    c1 = jnp.sum(gf == 1.0, axis=1, dtype=jnp.float32)
+    c2 = jnp.sum(gf == 2.0, axis=1, dtype=jnp.float32)
+    c0 = n_valid - c1 - c2
+    va, _slope, rvar_sum, v0, v1, v2 = dom_class_stats(c0, c1, c2)
+
+    var_a_sum = va / n_valid                           # = n * population var
     add_sd = jnp.sqrt(var_a_sum / n)
-    add_sd_zero = usable & ((var_a_sum <= 0.0) | all_missing)
+    add_sd_zero = usable & ((va <= 0.0) | all_missing)
 
-    safe_var = jnp.where(var_a_sum > 0, var_a_sum, 1.0)
-    slope = cov_ad_sum / safe_var
-    r_c = d_c - slope[:, None] * a_c                   # centered residuals
-    rvar_sum = jnp.sum(r_c * r_c, axis=1)
+    r_c = jnp.where(
+        valid,
+        v0[:, None]
+        + jnp.where(gf == 1.0, (v1 - v0)[:, None], 0.0)
+        + jnp.where(gf == 2.0, (v2 - v0)[:, None], 0.0),
+        0.0)
     rstd = jnp.sqrt(rvar_sum / n)
 
     inv_add_sd = jnp.where(add_sd > 0, 1.0 / jnp.where(add_sd > 0, add_sd, 1.0), 0.0)

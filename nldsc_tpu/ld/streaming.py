@@ -46,7 +46,8 @@ def _banded_chunk_int8(pre, dom_ok_b, lo_piv, hi_piv, blk_lo_piv, band_g0,
                        band_k: int, n_samples: int, n_piv_blocks: int,
                        has_missing: bool, dot_dtype: str):
     """Integer-engine variant of :func:`_banded_chunk` (same geometry)."""
-    from .ld_int8 import integer_corr_tiles, make_idot  # noqa: PLC0415
+    from .ld_int8 import (corr_tiles, make_idot,  # noqa: PLC0415
+                          scal_views, stack_scalars)
 
     B = block_size
     band_rows_total = pre["g"].shape[0]
@@ -54,11 +55,11 @@ def _banded_chunk_int8(pre, dom_ok_b, lo_piv, hi_piv, blk_lo_piv, band_g0,
     slab_rows = min(band_k * B, band_rows_total)
     n = jnp.float32(n_samples)
     n_padf = jnp.float32(n_pad_cols)
-    pad_miss = jnp.float32(n_pad_cols - n_samples)
     adj_c = (n - 1.0) / (n - 2.0)
     idot = make_idot(dot_dtype)
     usable_b = pre["usable"]
     poison_b = pre["add_sd_zero"]
+    scal = stack_scalars(pre)
 
     def pivot_block(b):
         r0 = piv_off + b * B
@@ -68,8 +69,7 @@ def _banded_chunk_int8(pre, dom_ok_b, lo_piv, hi_piv, blk_lo_piv, band_g0,
         lo_i = lax.dynamic_slice_in_dim(lo_piv, b * B, B)
         hi_i = lax.dynamic_slice_in_dim(hi_piv, b * B, B)
         usable_i = lax.dynamic_slice_in_dim(usable_b, r0, B)
-        am_i = lax.dynamic_slice_in_dim(pre["am"], r0, B)[:, None]
-        inv_sd_i = lax.dynamic_slice_in_dim(pre["inv_sd"], r0, B)[:, None]
+        sc_i = scal_views(lax.dynamic_slice_in_dim(scal, r0, B, axis=0), "col")
 
         j0 = jnp.clip(blk_lo_piv[b] * B - band_g0, 0,
                       band_rows_total - slab_rows)
@@ -81,17 +81,12 @@ def _banded_chunk_int8(pre, dom_ok_b, lo_piv, hi_piv, blk_lo_piv, band_g0,
         usable_j = lax.dynamic_slice_in_dim(usable_b, j0, slab_rows) & in_range
         dom_ok_j = lax.dynamic_slice_in_dim(dom_ok_b, j0, slab_rows) & in_range
         poison_j = lax.dynamic_slice_in_dim(poison_b, j0, slab_rows) & in_range
-        am_j = lax.dynamic_slice_in_dim(pre["am"], j0, slab_rows)[None, :]
-        dm_j = lax.dynamic_slice_in_dim(pre["dm"], j0, slab_rows)[None, :]
-        slope_j = lax.dynamic_slice_in_dim(pre["slope"], j0, slab_rows)[None, :]
-        inv_sd_j = lax.dynamic_slice_in_dim(pre["inv_sd"], j0, slab_rows)[None, :]
-        inv_rstd_j = lax.dynamic_slice_in_dim(pre["inv_rstd"], j0,
-                                              slab_rows)[None, :]
+        sc_j = scal_views(lax.dynamic_slice_in_dim(scal, j0, slab_rows,
+                                                   axis=0), "row")
 
-        r_add, r_dom = integer_corr_tiles(
-            idot, gi_rows, mi_rows, gj_rows, mj_rows, hj_rows,
-            am_i, am_j, dm_j, slope_j, inv_sd_i, inv_sd_j, inv_rstd_j,
-            n, n_padf, pad_miss, has_missing)
+        r_add, r_dom = corr_tiles(
+            idot, gi_rows, mi_rows, None, gj_rows, mj_rows, hj_rows,
+            sc_i, sc_j, n, n_padf, has_missing)
         c_add = r_add * n  # _tile_epilogue divides by n itself
         c_dom = r_dom * n
         return _tile_epilogue(c_add, c_dom, gi, gj, lo_i, hi_i, usable_i,
@@ -117,7 +112,8 @@ def _banded_chunk_int8_sym(pre, dom_ok_b, lo_piv, hi_piv, band_g0, m_pad,
     Quantity order: l2, ws, poison, l2d, wsd, wse (counters as f32 —
     exact below 2^24).
     """
-    from .ld_int8 import make_idot  # noqa: PLC0415
+    from .ld_int8 import (corr_tiles, make_idot,  # noqa: PLC0415
+                          scal_views, stack_scalars)
 
     B = block_size
     chunk_rows = n_piv_blocks * B
@@ -127,12 +123,12 @@ def _banded_chunk_int8_sym(pre, dom_ok_b, lo_piv, hi_piv, band_g0, m_pad,
     n = jnp.float32(n_samples)
     n_pad_cols = pre["g"].shape[1]
     n_padf = jnp.float32(n_pad_cols)
-    pad_miss = jnp.float32(n_pad_cols - n_samples)
     adj_c = (n - 1.0) / (n - 2.0)
     idot = make_idot(dot_dtype)
 
     usable_b = pre["usable"]
     poison_b = pre["add_sd_zero"]
+    scal = stack_scalars(pre)
 
     def sl(v, at, size):
         return lax.dynamic_slice_in_dim(v, at, size)
@@ -150,11 +146,7 @@ def _banded_chunk_int8_sym(pre, dom_ok_b, lo_piv, hi_piv, band_g0, m_pad,
         usable_i = sl(usable_b, r0, B)[:, None]
         poison_i = sl(poison_b, r0, B)[:, None]
         dom_ok_i = sl(dom_ok_b, r0, B)[:, None]
-        am_i = sl(pre["am"], r0, B)[:, None]
-        dm_i = sl(pre["dm"], r0, B)[:, None]
-        slope_i = sl(pre["slope"], r0, B)[:, None]
-        inv_sd_i = sl(pre["inv_sd"], r0, B)[:, None]
-        inv_rstd_i = sl(pre["inv_rstd"], r0, B)[:, None]
+        sc_i = scal_views(lax.dynamic_slice_in_dim(scal, r0, B, axis=0), "col")
 
         j0 = jnp.minimum(r0, ext_rows - right_rows)
         gj = band_g0 + j0 + jnp.arange(right_rows, dtype=jnp.int32)
@@ -165,35 +157,12 @@ def _banded_chunk_int8_sym(pre, dom_ok_b, lo_piv, hi_piv, band_g0, m_pad,
         usable_j = (sl(usable_b, j0, right_rows) & in_range)[None, :]
         poison_j = (sl(poison_b, j0, right_rows) & in_range)[None, :]
         dom_ok_j = (sl(dom_ok_b, j0, right_rows) & in_range)[None, :]
-        am_j = sl(pre["am"], j0, right_rows)[None, :]
-        dm_j = sl(pre["dm"], j0, right_rows)[None, :]
-        slope_j = sl(pre["slope"], j0, right_rows)[None, :]
-        inv_sd_j = sl(pre["inv_sd"], j0, right_rows)[None, :]
-        inv_rstd_j = sl(pre["inv_rstd"], j0, right_rows)[None, :]
+        sc_j = scal_views(lax.dynamic_slice_in_dim(scal, j0, right_rows,
+                                                   axis=0), "row")
 
-        sgg = idot(g_i, g_j)
-        sgh = idot(g_i, h_j)
-        shg = idot(h_i, g_j)
-        if has_missing:
-            sgm = idot(g_i, m_j)
-            smg = idot(m_i, g_j)
-            smm = idot(m_i, m_j)
-            smh = idot(m_i, h_j)
-            shm = idot(h_i, m_j)
-            a_dot = sgg + am_j * sgm + am_i * smg + am_i * am_j * smm
-            dA = sgh + dm_j * sgm + am_i * smh + am_i * dm_j * smm
-            dB = shg + am_j * shm + dm_i * smg + dm_i * am_j * smm
-        else:
-            a_dot = sgg + am_i * am_j * pad_miss
-            dA = sgh + am_i * dm_j * pad_miss
-            dB = shg + dm_i * am_j * pad_miss
-
-        ac = a_dot - n_padf * am_i * am_j
-        dcA = dA - n_padf * am_i * dm_j
-        dcB = dB - n_padf * dm_i * am_j
-        r_add = ac * inv_sd_i * inv_sd_j / n
-        r_domA = (dcA - slope_j * ac) * inv_sd_i * inv_rstd_j / n
-        r_domB = (dcB - slope_i * ac) * inv_rstd_i * inv_sd_j / n
+        r_add, r_domA, r_domB = corr_tiles(
+            idot, g_i, m_i, h_i, g_j, m_j, h_j, sc_i, sc_j, n, n_padf,
+            has_missing, symmetric=True)
 
         adj_add = 1.0 - (1.0 - r_add * r_add) * adj_c
         adj_dA = 1.0 - (1.0 - r_domA * r_domA) * adj_c

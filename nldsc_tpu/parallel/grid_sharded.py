@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ld.ld_int8 import make_idot
+from ..ld.ld_int8 import (corr_from_dots, finish_preprocess_int8, make_idot,
+                          scal_views, stack_scalars)
 from ..ld.ld_xla import _tile_epilogue, finalize_outputs
 
 SNP_AXIS = "snp"
@@ -80,56 +81,34 @@ def _grid_shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
     idot = make_idot(dot_dtype)
     n = jnp.float32(n_samples)
     n_padf = jnp.float32(n_pad_total)
-    pad_miss = jnp.float32(n_pad_total - n_samples)
 
-    # ---- moments: partial over local sample columns -> psum over samp ----
+    # ---- class counts: partial over local sample columns -> psum over samp ----
     valid = g >= 0
     gq = jnp.where(valid, g, 0).astype(jnp.int8)
     mq = (~valid).astype(jnp.int8)
     hq = jnp.where(valid, 2 * jnp.minimum(g, 1), 0).astype(jnp.int8)
-    gf = gq.astype(jnp.float32)
-    hf = hq.astype(jnp.float32)
-    partial_moments = jnp.stack([
+    partial_counts = jnp.stack([
         jnp.sum(valid, axis=1).astype(jnp.float32),
-        jnp.sum(gf, axis=1), jnp.sum(hf, axis=1),
-        jnp.sum(gf * gf, axis=1), jnp.sum(gf * hf, axis=1),
-        jnp.sum(hf * hf, axis=1),
+        jnp.sum(gq == 1, axis=1, dtype=jnp.float32),
+        jnp.sum(gq == 2, axis=1, dtype=jnp.float32),
     ], axis=0)
-    n_valid_raw, add_sum, dom_sum, sgg_m, sgh_m, shh_m = lax.psum(
-        partial_moments, SAMP_AXIS)
+    n_valid_raw, c1, c2 = lax.psum(partial_counts, SAMP_AXIS)
 
-    all_missing = n_valid_raw == 0
-    n_valid = jnp.maximum(n_valid_raw, 1.0)
-    am = add_sum / n_valid
-    dm = dom_sum / n_valid
-    maf = jnp.minimum(am * 0.5, 1.0 - am * 0.5)
-    usable = pos_ok & ((maf > maf_thr) | all_missing)
-    n_miss = n - n_valid + pad_miss
-    var_a = sgg_m + am * am * n_miss - n_padf * am * am
-    cov_ad = sgh_m + am * dm * n_miss - n_padf * am * dm
-    var_d = shh_m + dm * dm * n_miss - n_padf * dm * dm
-    add_sd_zero = usable & ((var_a <= 0.0) | all_missing)
-    slope = cov_ad / jnp.where(var_a > 0, var_a, 1.0)
-    rvar = var_d - slope * cov_ad
-    rstd = jnp.sqrt(jnp.maximum(rvar, 0.0) / n)
-    add_sd = jnp.sqrt(jnp.maximum(var_a, 0.0) / n)
-    inv_sd = jnp.where((add_sd > 0) & usable,
-                       1.0 / jnp.where(add_sd > 0, add_sd, 1.0), 0.0)
-    inv_rstd = jnp.where((rstd > 0) & usable & ~add_sd_zero,
-                         1.0 / jnp.where(rstd > 0, rstd, 1.0), 0.0)
-    dom_ok = usable & (rstd > jnp.float32(std_thr)) & ~add_sd_zero
-    nan = jnp.float32(jnp.nan)
-    maf_out = jnp.where(pos_ok & ~all_missing, maf, nan)
-    rstd_out = jnp.where(usable & ~add_sd_zero, rstd, nan)
+    pre = finish_preprocess_int8(n_valid_raw, c1, c2, n_padf - n_valid_raw,
+                                 pos_ok, maf_thr, n_samples, n_pad_total)
+    usable = pre["usable"]
+    add_sd_zero = pre["add_sd_zero"]
+    dom_ok = usable & (pre["rstd"] > jnp.float32(std_thr)) & ~add_sd_zero
+    maf_out, rstd_out = pre["maf"], pre["rstd"]
+    scal = stack_scalars(pre)
 
     # ---- halo-extend codes (snp axis) + scalar row ----
     g_ext = _extend_snp(gq, H)
     m_ext = _extend_snp(mq, H)
     h_ext = _extend_snp(hq, H)
-    scalars = jnp.stack([am, dm, slope, inv_sd, inv_rstd,
-                         usable.astype(jnp.float32),
-                         dom_ok.astype(jnp.float32),
-                         add_sd_zero.astype(jnp.float32)], axis=1)
+    scalars = jnp.concatenate([
+        scal, jnp.stack([usable, dom_ok, add_sd_zero],
+                        axis=1).astype(jnp.float32)], axis=1)
     scal_ext = _extend_snp(scalars, H)
 
     band_rows = min(band_k * B, L + 2 * H)
@@ -144,8 +123,7 @@ def _grid_shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
         lo_i = lax.dynamic_slice_in_dim(lo, shard_start + r0, B)
         hi_i = lax.dynamic_slice_in_dim(hi, shard_start + r0, B)
         usable_i = lax.dynamic_slice_in_dim(usable, r0, B)
-        am_i = lax.dynamic_slice_in_dim(am, r0, B)[:, None]
-        inv_sd_i = lax.dynamic_slice_in_dim(inv_sd, r0, B)[:, None]
+        sc_i = scal_views(lax.dynamic_slice_in_dim(scal, r0, B, axis=0), "col")
 
         j0_ext = jnp.clip(blk_lo[gb] * B - (shard_start - H),
                           0, ext_rows - band_rows)
@@ -156,29 +134,21 @@ def _grid_shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
         gj = (shard_start - H) + j0_ext + jnp.arange(band_rows,
                                                      dtype=jnp.int32)
         in_range = (gj >= 0) & (gj < m_pad)
-        usable_j = (sc[:, 5] > 0) & in_range
-        dom_ok_j = (sc[:, 6] > 0) & in_range
-        poison_j = (sc[:, 7] > 0) & in_range
+        usable_j = (sc[:, 9] > 0) & in_range
+        dom_ok_j = (sc[:, 10] > 0) & in_range
+        poison_j = (sc[:, 11] > 0) & in_range
+        sc_j = scal_views(sc[:, :9], "row")
 
+        names = ["sgg", "sgh"]
         tiles = [idot(gi_rows, gj_rows), idot(gi_rows, hj_rows)]
         if has_missing:
+            names += ["sgm", "smg", "smm", "smh"]
             tiles += [idot(gi_rows, mj_rows), idot(mi_rows, gj_rows),
                       idot(mi_rows, mj_rows), idot(mi_rows, hj_rows)]
         tiles = lax.psum(jnp.stack(tiles), SAMP_AXIS)
-        am_j, dm_j, slope_j = (sc[:, i][None, :] for i in (0, 1, 2))
-        inv_sd_j, inv_rstd_j = (sc[:, i][None, :] for i in (3, 4))
-        if has_missing:
-            sgg, sgh, sgm, smg, smm, smh = tiles
-            a_dot = sgg + am_j * sgm + am_i * smg + am_i * am_j * smm
-            d_dot = sgh + dm_j * sgm + am_i * smh + am_i * dm_j * smm
-        else:
-            sgg, sgh = tiles
-            a_dot = sgg + am_i * am_j * pad_miss
-            d_dot = sgh + am_i * dm_j * pad_miss
-        ac = a_dot - n_padf * am_i * am_j
-        dc = d_dot - n_padf * am_i * dm_j
-        r_add = ac * inv_sd_i * inv_sd_j / n
-        r_dom = (dc - slope_j * ac) * inv_sd_i * inv_rstd_j / n
+        dots = dict(zip(names, tiles))
+        r_add, r_dom = corr_from_dots(dots, sc_i, sc_j, n, n_padf,
+                                      has_missing)
         return _tile_epilogue(r_add * n, r_dom * n, gi, gj, lo_i, hi_i,
                               usable_i, usable_j, dom_ok_j, poison_j,
                               n_samples, rsq_thr)

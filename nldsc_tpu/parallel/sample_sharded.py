@@ -28,7 +28,8 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from ..ld.ld_xla import _tile_epilogue, finalize_outputs
-from ..ld.ld_int8 import make_idot
+from ..ld.ld_int8 import (corr_from_dots, finish_preprocess_int8, make_idot,
+                          scal_views, stack_scalars)
 from .mesh import SNP_AXIS
 
 
@@ -40,53 +41,27 @@ def _sample_shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
     idot = make_idot(dot_dtype)
     n = jnp.float32(n_samples)
     n_padf = jnp.float32(n_pad_total)
-    pad_miss = jnp.float32(n_pad_total - n_samples)
 
-    # ---- per-SNP moments: shard-partial integer sums -> one psum ----
+    # ---- per-SNP class counts: shard-partial integer sums -> one psum ----
     valid = g >= 0
     gq = jnp.where(valid, g, 0).astype(jnp.int8)
     mq = (~valid).astype(jnp.int8)
     hq = jnp.where(valid, 2 * jnp.minimum(g, 1), 0).astype(jnp.int8)
-    gf = gq.astype(jnp.float32)
-    hf = hq.astype(jnp.float32)
 
     partial = jnp.stack([
-        jnp.sum(valid, axis=1).astype(jnp.float32),   # n_valid
-        jnp.sum(gf, axis=1),                           # add_sum
-        jnp.sum(hf, axis=1),                           # dom_sum
-        jnp.sum(gf * gf, axis=1),                      # sgg
-        jnp.sum(gf * hf, axis=1),                      # sgh
-        jnp.sum(hf * hf, axis=1),                      # shh
+        jnp.sum(valid, axis=1).astype(jnp.float32),       # n_valid
+        jnp.sum(gq == 1, axis=1, dtype=jnp.float32),      # c1
+        jnp.sum(gq == 2, axis=1, dtype=jnp.float32),      # c2
     ], axis=0)
-    tot = lax.psum(partial, SNP_AXIS)
-    n_valid_raw, add_sum, dom_sum, sgg_m, sgh_m, shh_m = tot
+    n_valid_raw, c1, c2 = lax.psum(partial, SNP_AXIS)
 
-    all_missing = n_valid_raw == 0
-    n_valid = jnp.maximum(n_valid_raw, 1.0)
-    am = add_sum / n_valid
-    dm = dom_sum / n_valid
-    f2 = am * 0.5
-    maf = jnp.minimum(f2, 1.0 - f2)
-    usable = pos_ok & ((maf > maf_thr) | all_missing)
-
-    n_miss = n - n_valid + pad_miss
-    var_a = sgg_m + am * am * n_miss - n_padf * am * am
-    cov_ad = sgh_m + am * dm * n_miss - n_padf * am * dm
-    var_d = shh_m + dm * dm * n_miss - n_padf * dm * dm
-    add_sd = jnp.sqrt(jnp.maximum(var_a, 0.0) / n)
-    add_sd_zero = usable & ((var_a <= 0.0) | all_missing)
-    safe = jnp.where(var_a > 0, var_a, 1.0)
-    slope = cov_ad / safe
-    rvar = var_d - slope * cov_ad
-    rstd = jnp.sqrt(jnp.maximum(rvar, 0.0) / n)
-    inv_sd = jnp.where((add_sd > 0) & usable,
-                       1.0 / jnp.where(add_sd > 0, add_sd, 1.0), 0.0)
-    inv_rstd = jnp.where((rstd > 0) & usable & ~add_sd_zero,
-                         1.0 / jnp.where(rstd > 0, rstd, 1.0), 0.0)
-    dom_ok = usable & (rstd > jnp.float32(std_thr)) & ~add_sd_zero
-    nan = jnp.float32(jnp.nan)
-    maf_out = jnp.where(pos_ok & ~all_missing, maf, nan)
-    rstd_out = jnp.where(usable & ~add_sd_zero, rstd, nan)
+    pre = finish_preprocess_int8(n_valid_raw, c1, c2, n_padf - n_valid_raw,
+                                 pos_ok, maf_thr, n_samples, n_pad_total)
+    usable = pre["usable"]
+    add_sd_zero = pre["add_sd_zero"]
+    dom_ok = usable & (pre["rstd"] > jnp.float32(std_thr)) & ~add_sd_zero
+    maf_out, rstd_out = pre["maf"], pre["rstd"]
+    scal = stack_scalars(pre)
 
     # ---- banded pass: partial S tiles, psum per tile pair ----
     band_rows = min(band_k * B, m_pad)
@@ -99,8 +74,7 @@ def _sample_shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
         lo_i = lax.dynamic_slice_in_dim(lo, r0, B)
         hi_i = lax.dynamic_slice_in_dim(hi, r0, B)
         usable_i = lax.dynamic_slice_in_dim(usable, r0, B)
-        am_i = lax.dynamic_slice_in_dim(am, r0, B)[:, None]
-        inv_sd_i = lax.dynamic_slice_in_dim(inv_sd, r0, B)[:, None]
+        sc_i = scal_views(lax.dynamic_slice_in_dim(scal, r0, B, axis=0), "col")
 
         j0 = jnp.clip(blk_lo[b] * B, 0, m_pad - band_rows)
         gj_rows = lax.dynamic_slice_in_dim(gq, j0, band_rows, axis=0)
@@ -110,32 +84,20 @@ def _sample_shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
         usable_j = lax.dynamic_slice_in_dim(usable, j0, band_rows)
         dom_ok_j = lax.dynamic_slice_in_dim(dom_ok, j0, band_rows)
         poison_j = lax.dynamic_slice_in_dim(add_sd_zero, j0, band_rows)
-        am_j = lax.dynamic_slice_in_dim(am, j0, band_rows)[None, :]
-        dm_j = lax.dynamic_slice_in_dim(dm, j0, band_rows)[None, :]
-        slope_j = lax.dynamic_slice_in_dim(slope, j0, band_rows)[None, :]
-        inv_sd_j = lax.dynamic_slice_in_dim(inv_sd, j0, band_rows)[None, :]
-        inv_rstd_j = lax.dynamic_slice_in_dim(inv_rstd, j0,
-                                              band_rows)[None, :]
+        sc_j = scal_views(lax.dynamic_slice_in_dim(scal, j0, band_rows,
+                                                   axis=0), "row")
 
         # shard-partial integer matmuls, combined exactly with psum
+        names = ["sgg", "sgh"]
         tiles = [idot(gi_rows, gj_rows), idot(gi_rows, hj_rows)]
         if has_missing:
+            names += ["sgm", "smg", "smm", "smh"]
             tiles += [idot(gi_rows, mj_rows), idot(mi_rows, gj_rows),
                       idot(mi_rows, mj_rows), idot(mi_rows, hj_rows)]
         tiles = lax.psum(jnp.stack(tiles), SNP_AXIS)
-        if has_missing:
-            sgg, sgh, sgm, smg, smm, smh = tiles
-            a_dot = sgg + am_j * sgm + am_i * smg + am_i * am_j * smm
-            d_dot = sgh + dm_j * sgm + am_i * smh + am_i * dm_j * smm
-        else:
-            sgg, sgh = tiles
-            a_dot = sgg + am_i * am_j * pad_miss
-            d_dot = sgh + am_i * dm_j * pad_miss
-
-        ac = a_dot - n_padf * am_i * am_j
-        dc = d_dot - n_padf * am_i * dm_j
-        r_add = ac * inv_sd_i * inv_sd_j / n
-        r_dom = (dc - slope_j * ac) * inv_sd_i * inv_rstd_j / n
+        dots = dict(zip(names, tiles))
+        r_add, r_dom = corr_from_dots(dots, sc_i, sc_j, n, n_padf,
+                                      has_missing)
         return _tile_epilogue(r_add * n, r_dom * n, gi, gj, lo_i, hi_i,
                               usable_i, usable_j, dom_ok_j, poison_j,
                               n_samples, rsq_thr)

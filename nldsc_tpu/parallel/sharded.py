@@ -77,8 +77,8 @@ def _shard_fn_int8(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
                    has_missing, dot_dtype):
     """Integer-engine shard body: halo-exchanges int8 genotype codes (4x
     less ICI traffic than f32) plus the per-SNP scalar row."""
-    from ..ld.ld_int8 import (integer_corr_tiles, make_idot,  # noqa: PLC0415
-                              preprocess_int8)
+    from ..ld.ld_int8 import (corr_tiles, make_idot,  # noqa: PLC0415
+                              preprocess_int8, scal_views, stack_scalars)
 
     B = block_size
     L = g.shape[0]
@@ -95,10 +95,10 @@ def _shard_fn_int8(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
     g_ext = _extend(pre["g"], H)
     m_ext = _extend(pre["m"], H)
     h_ext = _extend(pre["h"], H)
-    scalars = jnp.stack([
-        pre["am"], pre["dm"], pre["slope"], pre["inv_sd"], pre["inv_rstd"],
-        usable.astype(jnp.float32), dom_ok.astype(jnp.float32),
-        poison.astype(jnp.float32)], axis=1)
+    scal = stack_scalars(pre)                 # (L, 9)
+    scalars = jnp.concatenate([
+        scal, jnp.stack([usable, dom_ok, poison], axis=1).astype(jnp.float32),
+    ], axis=1)                                # + flags at cols 9..11
     scal_ext = _extend(scalars, H)
 
     band_rows = min(band_k * B, L + 2 * H)
@@ -106,7 +106,6 @@ def _shard_fn_int8(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
     n = jnp.float32(n_samples)
     n_pad_cols = g.shape[1]
     n_padf = jnp.float32(n_pad_cols)
-    pad_miss = jnp.float32(n_pad_cols - n_samples)
     idot = make_idot(dot_dtype)
 
     def pivot_block(b_local):
@@ -118,8 +117,7 @@ def _shard_fn_int8(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
         lo_i = lax.dynamic_slice_in_dim(lo, shard_start + r0, B)
         hi_i = lax.dynamic_slice_in_dim(hi, shard_start + r0, B)
         usable_i = lax.dynamic_slice_in_dim(usable, r0, B)
-        am_i = lax.dynamic_slice_in_dim(pre["am"], r0, B)[:, None]
-        inv_sd_i = lax.dynamic_slice_in_dim(pre["inv_sd"], r0, B)[:, None]
+        sc_i = scal_views(lax.dynamic_slice_in_dim(scal, r0, B, axis=0), "col")
 
         j0_ext = jnp.clip(blk_lo[gb] * B - (shard_start - H),
                           0, ext_rows - band_rows)
@@ -130,15 +128,14 @@ def _shard_fn_int8(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
         gj = (shard_start - H) + j0_ext + jnp.arange(band_rows, dtype=jnp.int32)
 
         in_range = (gj >= 0) & (gj < m_pad)
-        usable_j = (sc[:, 5] > 0) & in_range
-        dom_ok_j = (sc[:, 6] > 0) & in_range
-        poison_j = (sc[:, 7] > 0) & in_range
+        usable_j = (sc[:, 9] > 0) & in_range
+        dom_ok_j = (sc[:, 10] > 0) & in_range
+        poison_j = (sc[:, 11] > 0) & in_range
+        sc_j = scal_views(sc[:, :9], "row")
 
-        r_add, r_dom = integer_corr_tiles(
-            idot, gi_rows, mi_rows, gj_rows, mj_rows, hj_rows,
-            am_i, sc[:, 0][None, :], sc[:, 1][None, :], sc[:, 2][None, :],
-            inv_sd_i, sc[:, 3][None, :], sc[:, 4][None, :],
-            n, n_padf, pad_miss, has_missing)
+        r_add, r_dom = corr_tiles(
+            idot, gi_rows, mi_rows, None, gj_rows, mj_rows, hj_rows,
+            sc_i, sc_j, n, n_padf, has_missing)
         return _tile_epilogue(r_add * n, r_dom * n, gi, gj, lo_i, hi_i,
                               usable_i, usable_j, dom_ok_j, poison_j,
                               n_samples, rsq_thr)
@@ -161,7 +158,8 @@ def _shard_fn_int8_sym(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr,
     flops drop to 3/8 half-band products (vs 2/6 full-band) — the same
     4/3 (resp. 3/2) saving as the in-core symmetric engine.
     """
-    from ..ld.ld_int8 import make_idot, preprocess_int8  # noqa: PLC0415
+    from ..ld.ld_int8 import (corr_tiles, make_idot,  # noqa: PLC0415
+                              preprocess_int8, scal_views, stack_scalars)
 
     B = block_size
     L = g.shape[0]
@@ -195,10 +193,10 @@ def _shard_fn_int8_sym(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr,
     g_ext = ext(pre["g"])
     m_ext = ext(pre["m"])
     h_ext = ext(pre["h"])
-    scalars = jnp.stack([
-        pre["am"], pre["dm"], pre["slope"], pre["inv_sd"], pre["inv_rstd"],
-        usable.astype(jnp.float32), dom_ok.astype(jnp.float32),
-        poison.astype(jnp.float32)], axis=1)
+    scal = stack_scalars(pre)                 # (L, 9)
+    scalars = jnp.concatenate([
+        scal, jnp.stack([usable, dom_ok, poison], axis=1).astype(jnp.float32),
+    ], axis=1)                                # + flags at cols 9..11
     sc_ext = ext(scalars)
 
     ext_rows = L + H
@@ -206,7 +204,6 @@ def _shard_fn_int8_sym(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr,
     n = jnp.float32(n_samples)
     n_pad_cols = g.shape[1]
     n_padf = jnp.float32(n_pad_cols)
-    pad_miss = jnp.float32(n_pad_cols - n_samples)
     adj_c = (n - 1.0) / (n - 2.0)
     idot = make_idot(dot_dtype)
 
@@ -223,49 +220,27 @@ def _shard_fn_int8_sym(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr,
         h_i = lax.dynamic_slice_in_dim(h_ext, r0, B, axis=0)
         lo_i = sl(lo, gr0, B)[:, None]
         hi_i = sl(hi, gr0, B)[:, None]
-        sc_i = lax.dynamic_slice_in_dim(sc_ext, r0, B, axis=0)
-        usable_i = (sc_i[:, 5] > 0)[:, None]
-        poison_i = (sc_i[:, 7] > 0)[:, None]
-        dom_ok_i = (sc_i[:, 6] > 0)[:, None]
-        am_i, dm_i, slope_i = (sc_i[:, k][:, None] for k in (0, 1, 2))
-        inv_sd_i, inv_rstd_i = (sc_i[:, k][:, None] for k in (3, 4))
+        sc_im = lax.dynamic_slice_in_dim(sc_ext, r0, B, axis=0)
+        usable_i = (sc_im[:, 9] > 0)[:, None]
+        dom_ok_i = (sc_im[:, 10] > 0)[:, None]
+        poison_i = (sc_im[:, 11] > 0)[:, None]
+        sc_i = scal_views(sc_im[:, :9], "col")
 
         j0 = jnp.minimum(r0, ext_rows - right_rows)
         gj = shard_start + j0 + jnp.arange(right_rows, dtype=jnp.int32)
         g_j = lax.dynamic_slice_in_dim(g_ext, j0, right_rows, axis=0)
         m_j = lax.dynamic_slice_in_dim(m_ext, j0, right_rows, axis=0)
         h_j = lax.dynamic_slice_in_dim(h_ext, j0, right_rows, axis=0)
-        sc_j = lax.dynamic_slice_in_dim(sc_ext, j0, right_rows, axis=0)
+        sc_jm = lax.dynamic_slice_in_dim(sc_ext, j0, right_rows, axis=0)
         in_range = gj < m_pad
-        usable_j = ((sc_j[:, 5] > 0) & in_range)[None, :]
-        poison_j = ((sc_j[:, 7] > 0) & in_range)[None, :]
-        dom_ok_j = ((sc_j[:, 6] > 0) & in_range)[None, :]
-        am_j, dm_j, slope_j = (sc_j[:, k][None, :] for k in (0, 1, 2))
-        inv_sd_j, inv_rstd_j = (sc_j[:, k][None, :] for k in (3, 4))
+        usable_j = ((sc_jm[:, 9] > 0) & in_range)[None, :]
+        dom_ok_j = ((sc_jm[:, 10] > 0) & in_range)[None, :]
+        poison_j = ((sc_jm[:, 11] > 0) & in_range)[None, :]
+        sc_j = scal_views(sc_jm[:, :9], "row")
 
-        sgg = idot(g_i, g_j)
-        sgh = idot(g_i, h_j)
-        shg = idot(h_i, g_j)
-        if has_missing:
-            sgm = idot(g_i, m_j)
-            smg = idot(m_i, g_j)
-            smm = idot(m_i, m_j)
-            smh = idot(m_i, h_j)
-            shm = idot(h_i, m_j)
-            a_dot = sgg + am_j * sgm + am_i * smg + am_i * am_j * smm
-            dA = sgh + dm_j * sgm + am_i * smh + am_i * dm_j * smm
-            dB = shg + am_j * shm + dm_i * smg + dm_i * am_j * smm
-        else:
-            a_dot = sgg + am_i * am_j * pad_miss
-            dA = sgh + am_i * dm_j * pad_miss
-            dB = shg + dm_i * am_j * pad_miss
-
-        ac = a_dot - n_padf * am_i * am_j
-        dcA = dA - n_padf * am_i * dm_j
-        dcB = dB - n_padf * dm_i * am_j
-        r_add = ac * inv_sd_i * inv_sd_j / n
-        r_domA = (dcA - slope_j * ac) * inv_sd_i * inv_rstd_j / n
-        r_domB = (dcB - slope_i * ac) * inv_rstd_i * inv_sd_j / n
+        r_add, r_domA, r_domB = corr_tiles(
+            idot, g_i, m_i, h_i, g_j, m_j, h_j, sc_i, sc_j, n, n_padf,
+            has_missing, symmetric=True)
 
         adj_add = 1.0 - (1.0 - r_add * r_add) * adj_c
         adj_dA = 1.0 - (1.0 - r_domA * r_domA) * adj_c
@@ -304,10 +279,11 @@ def _shard_fn_int8_sym(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr,
             + cols_b, j0, axis=1)
         return (row_acc, col_acc), None
 
-    # pvary: the zero carries must be marked shard-varying to match the
-    # body outputs under shard_map's varying-axis typing
-    zr = lax.pvary(jnp.zeros((6, L), jnp.float32), SNP_AXIS)
-    zc = lax.pvary(jnp.zeros((6, ext_rows), jnp.float32), SNP_AXIS)
+    # pcast to=varying: the zero carries must be marked shard-varying to
+    # match the body outputs under shard_map's varying-axis typing
+    zr = lax.pcast(jnp.zeros((6, L), jnp.float32), SNP_AXIS, to="varying")
+    zc = lax.pcast(jnp.zeros((6, ext_rows), jnp.float32), SNP_AXIS,
+                   to="varying")
     (row_acc, col_acc), _ = lax.scan(
         step, (zr, zc), jnp.arange(L // B, dtype=jnp.int32))
 

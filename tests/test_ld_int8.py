@@ -109,8 +109,8 @@ def test_int8_sym2_direct_parity(rng):
     pre = ld_int8.preprocess_int8(jnp.asarray(g), jnp.asarray(pos_ok),
                                   jnp.float32(0.01), n_samples=n)
     dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(1e-4))
-    args = (pre["g"], pre["m"], pre["h"], pre["am"], pre["dm"], pre["slope"],
-            pre["inv_sd"], pre["inv_rstd"], jnp.asarray(lo), jnp.asarray(hi),
+    args = (pre["g"], pre["m"], pre["h"], ld_int8.stack_scalars(pre),
+            jnp.asarray(lo), jnp.asarray(hi),
             pre["usable"], dom_ok, pre["add_sd_zero"],
             jnp.asarray(blk_lo), jnp.asarray(blk_hi), jnp.float32(1e-3))
     out = ld_int8.ld_scores_int8_sym2(
