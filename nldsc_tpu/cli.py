@@ -75,7 +75,24 @@ def main(log_file):
               help="SNP rows per device tile")
 @click.option("--pallas", is_flag=True, default=False,
               help="Use the fused Pallas kernel instead of the banded-slab "
-                   "XLA engine")
+                   "XLA engine (alias for --engine pallas)")
+@click.option("--engine", type=click.Choice(["int8", "f32", "pallas"]),
+              default=None,
+              help="Compute engine: integer-exact int8 MXU (default), f32 "
+                   "slab matmuls, or the fused Pallas kernel")
+@click.option("--symmetric/--no-symmetric", "symmetric", default=None,
+              help="Exploit r-squared symmetry (half-band, default on; "
+                   "--no-symmetric forces the full-band engine)")
+@click.option("--dot-dtype", type=click.Choice(["int8", "bf16"]),
+              default="int8",
+              help="MXU contraction dtype for the integer engines (both are "
+                   "exact for genotype codes; int8 is ~2x bf16 on v5e)")
+@click.option("--n-devices", metavar="N", type=int, default=None,
+              help="Shard the SNP axis over N devices (default: all local "
+                   "devices when more than one is visible)")
+@click.option("--profile-dir", metavar="DIR", default=None,
+              help="Capture a jax.profiler trace of the compute pass into "
+                   "this directory")
 @click.option("--streaming/--no-streaming", "streaming", default=None,
               help="Force the out-of-core engine on/off (default: auto by "
                    "memory footprint)")
@@ -88,11 +105,15 @@ def main(log_file):
               help="Per-SNP annotation file (SNP column + one column per "
                    "annotation): compute PARTITIONED LD scores "
                    "(<name>.L2 / <name>.L2D per annotation)")
+@click.option("--progress/--no-progress", "progress", default=None,
+              help="Percent/ETA progress during the LD pass (default: on "
+                   "for runs above 20k SNPs; streaming always logs chunks)")
 @click.option("--display", is_flag=True, default=False, help="Display traceback")
 @handle_exception
 def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
-           extra, block_size, pallas, streaming, chunk_rows, resume_path,
-           annot):
+           extra, block_size, pallas, engine, symmetric, dot_dtype,
+           n_devices, profile_dir, streaming, chunk_rows, resume_path,
+           annot, progress):
     if sum(map(bool, [ld_wind_kb, ld_wind_cm])) != 1:
         raise RuntimeError("Please, specify exactly one --ld-wind option")
     if ld_wind_kb:
@@ -100,15 +121,20 @@ def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
     else:
         wind_metric, ld_wind = "cm", ld_wind_cm
 
+    use_pallas = pallas or engine == "pallas"
+    use_int8 = None if engine is None else engine != "f32"
+
     from .ld.pipeline import estimate_lds  # noqa: PLC0415
 
     df = estimate_lds(
         bfile, ld_wind=ld_wind, wind_metric=wind_metric,
         maf_thr=maf_thr, std_thr=std_thr, rsq_thr=rsq_thr,
         out=out, extra=extra, summary=True,
-        block_size=block_size, use_pallas=pallas,
+        block_size=block_size, use_pallas=use_pallas, use_int8=use_int8,
+        symmetric=symmetric, int8_dot_dtype=dot_dtype,
+        n_devices=n_devices, profile_dir=profile_dir,
         streaming=streaming, chunk_rows=chunk_rows, resume_path=resume_path,
-        annot=annot,
+        annot=annot, progress=progress,
     )
     if df is not None and out is None:
         click.echo(df.to_string(max_rows=40))

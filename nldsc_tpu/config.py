@@ -71,11 +71,14 @@ class LDConfig:
         if self.wind_metric == "cm" and self.ld_wind > MAX_WIND_CM:
             raise NLDSCParameterError("The ld-window cannot be larger than 100 cm")
         if not (0 <= self.maf_thr < 1):
-            raise NLDSCParameterError("Minor allele frequency must be between 0 and 1!")
+            raise NLDSCParameterError(
+                f"MAF threshold {self.maf_thr} out of range [0, 1)")
         if not (0 <= self.std_thr < 1):
-            raise NLDSCParameterError("standard deviation threshold must be between 0 and 1!")
+            raise NLDSCParameterError(
+                f"residual-sd threshold {self.std_thr} out of range [0, 1)")
         if self.rsq_thr is not None and not (0 <= self.rsq_thr < 0.1):
-            raise NLDSCParameterError("r-squared threshold must be between 0 and 0.1!")
+            raise NLDSCParameterError(
+                f"r-squared threshold {self.rsq_thr} out of range [0, 0.1)")
         if self.block_size % 8 != 0 or self.block_size <= 0:
             raise NLDSCParameterError("block_size must be a positive multiple of 8")
         if self.matmul_precision not in ("high", "highest"):

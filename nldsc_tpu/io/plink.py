@@ -145,8 +145,9 @@ def read_bim(path: str | os.PathLike, single_chromosome: bool = True) -> pd.Data
     bim = pd.read_csv(path, sep=r"\s+", names=list(BIM_COLUMNS), header=None)
     if single_chromosome and bim["CHR"].nunique() != 1:
         raise NLDSCParameterError(
-            "The current version of the program can only work with one "
-            "chromosome in one file."
+            "Expected a single-chromosome bfile, but the .bim lists "
+            f"{bim['CHR'].nunique()} chromosomes — split the input per "
+            "chromosome (same constraint as the reference)."
         )
     return bim
 

@@ -286,8 +286,9 @@ def corr_tiles(idot, g_i, m_i, h_i, g_j, m_j, h_j, sc_i, sc_j, n, n_padf,
 @partial(jax.jit, static_argnames=("block_size", "band_k", "n_samples",
                                    "has_missing", "dot_dtype"))
 def ld_scores_int8(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
-                   blk_lo, blk_hi, rsq_thr, *, block_size: int, band_k: int,
-                   n_samples: int, has_missing: bool, dot_dtype: str = "int8"):
+                   blk_lo, blk_hi, rsq_thr, annot=None, *, block_size: int,
+                   band_k: int, n_samples: int, has_missing: bool,
+                   dot_dtype: str = "int8"):
     """Banded LD pass on integer matmuls (same contract as ld_scores_xla).
 
     ``scal``: (M, 9) f32 per-SNP scalars (:func:`stack_scalars`).
@@ -296,6 +297,13 @@ def ld_scores_int8(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
     codes {0,1,2} are exactly representable in bf16 and every partial sum
     is an integer below 2^24, so f32 accumulation never rounds (valid for
     N_pad ≤ 4M samples).
+
+    ``annot``: optional f32 (M_pad, p) annotation matrix (padding rows 0).
+    When given, each tile additionally contracts its masked adjusted-r²
+    with the band's annotation slab — one extra skinny matmul per tile —
+    and the return extends to ``(l2_annot, l2d_annot, l2, l2d, ws, wsd,
+    wse)`` with the same sentinel semantics as
+    :func:`nldsc_tpu.ld.ld_xla.ld_scores_xla_annot`.
     """
     m_pad, n_pad_cols = g.shape
     assert n_pad_cols <= (1 << 22), "bf16-exact path requires N_pad <= 4M"
@@ -350,12 +358,33 @@ def ld_scores_int8(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
         wsd_p = jnp.sum(dmask, axis=1).astype(jnp.int32)
         wse_p = jnp.sum((adj_dom > rsq_thr) & dmask, axis=1).astype(jnp.int32)
         poi_p = jnp.sum(pair & poison_j[None, :], axis=1).astype(jnp.int32)
-        return l2_p, l2d_p, ws_p, wsd_p, wse_p, poi_p
+        if annot is None:
+            return l2_p, l2d_p, ws_p, wsd_p, wse_p, poi_p
+        aj = lax.dynamic_slice_in_dim(annot, j0, band_rows, axis=0)
+        # precision highest: default TPU precision would round adj r² to
+        # bf16 (~5e-3 error on the sums, observed on hardware)
+        l2a_p = jnp.dot(adj_add * basef, aj, precision="highest",
+                        preferred_element_type=jnp.float32)
+        l2da_p = jnp.dot(adj_dom * dmaskf, aj, precision="highest",
+                         preferred_element_type=jnp.float32)
+        return l2_p, l2d_p, ws_p, wsd_p, wse_p, poi_p, l2a_p, l2da_p
 
     accs = lax.map(pivot_block, jnp.arange(n_blocks, dtype=jnp.int32))
-    l2_acc, l2d_acc, ws, wsd, wse, poison = (a.reshape(m_pad) for a in accs)
-    return finalize_outputs(l2_acc, l2d_acc, ws, wsd, wse, poison,
-                            usable, add_sd_zero)
+    l2_acc, l2d_acc, ws, wsd, wse, poison = (a.reshape(m_pad)
+                                             for a in accs[:6])
+    fin = finalize_outputs(l2_acc, l2d_acc, ws, wsd, wse, poison,
+                           usable, add_sd_zero)
+    if annot is None:
+        return fin
+    p = annot.shape[1]
+    l2_a, l2d_a = (a.reshape(m_pad, p) for a in accs[6:])
+    nan = jnp.float32(jnp.nan)
+    good = (usable & (poison == 0))[:, None]
+    l2_a = jnp.where(good, annot + l2_a, nan)           # + self term
+    l2d_bad = jnp.where(wsd > 0, nan, 0.0)[:, None]
+    l2d_a = jnp.where(usable[:, None],
+                      jnp.where(add_sd_zero[:, None], l2d_bad, l2d_a), nan)
+    return (l2_a, l2d_a, *fin)
 
 
 @partial(jax.jit, static_argnames=("block_size", "right_k", "n_samples",
@@ -492,9 +521,39 @@ def ld_scores_int8_sym(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
     Intra-block pairs are fully covered by row-direction sums (both orders
     appear inside the tile); column-direction sums skip the intra tile.
     """
+    accs = sym_scan_segment(
+        g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero, rsq_thr,
+        jnp.int32(0), block_size=block_size, right_k=right_k,
+        n_samples=n_samples, n_scan_blocks=g.shape[0] // block_size,
+        has_missing=has_missing, dot_dtype=dot_dtype)
+    (l2_acc, ws, poison, l2d_acc, wsd, wse) = accs
+    return finalize_outputs(l2_acc, l2d_acc, ws, wsd, wse, poison,
+                            usable, add_sd_zero)
+
+
+@partial(jax.jit, static_argnames=("block_size", "right_k", "n_samples",
+                                   "n_scan_blocks", "has_missing",
+                                   "dot_dtype"))
+def sym_scan_segment(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
+                     rsq_thr, blk0, *, block_size: int, right_k: int,
+                     n_samples: int, n_scan_blocks: int, has_missing: bool,
+                     dot_dtype: str = "int8"):
+    """Credit accumulation of :func:`ld_scores_int8_sym` for the pivot
+    blocks ``[blk0, blk0 + n_scan_blocks)`` only.
+
+    Returns the six UN-finalized full-length credit vectors (l2, ws,
+    poison, l2d, wsd, wse).  Segments tile the block range disjointly:
+    summing segment outputs and applying :func:`finalize_outputs`
+    reproduces the single-scan result (row credits are disjoint across
+    segments; column credits overlap only additively — counters are exact
+    integers in f32, the f32 score sums differ from the single-scan order
+    by ≤1 ulp per overlap).  This is what lets the pipeline dispatch the
+    pass in chunks and report real percent/ETA progress (reference UX:
+    ``indicators.h`` per-SNP bar) without serializing on a host fetch of
+    the full outputs.
+    """
     m_pad, n_pad_cols = g.shape
     assert n_pad_cols <= (1 << 22)
-    n_blocks = m_pad // block_size
     B = block_size
     right_rows = min(right_k * B, m_pad)
     n = jnp.float32(n_samples)
@@ -578,7 +637,7 @@ def ld_scores_int8_sym(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
 
     zf = jnp.zeros(m_pad, jnp.float32)
     zi = jnp.zeros(m_pad, jnp.int32)
-    (l2_acc, ws, poison, l2d_acc, wsd, wse), _ = lax.scan(
-        step, (zf, zi, zi, zf, zi, zi), jnp.arange(n_blocks, dtype=jnp.int32))
-    return finalize_outputs(l2_acc, l2d_acc, ws, wsd, wse, poison,
-                            usable, add_sd_zero)
+    carry, _ = lax.scan(
+        step, (zf, zi, zi, zf, zi, zi),
+        blk0 + jnp.arange(n_scan_blocks, dtype=jnp.int32))
+    return carry

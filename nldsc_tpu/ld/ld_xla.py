@@ -22,12 +22,14 @@ from jax import lax
 
 
 def _tile_epilogue(c_add, c_dom, gi, gj, lo_i, hi_i, usable_i, usable_j,
-                   dom_ok_j, poison_j, n_samples, rsq_thr):
+                   dom_ok_j, poison_j, n_samples, rsq_thr, aj=None):
     """Shared mask algebra for one (B_i × B_j) tile.
 
     ``c_add``/``c_dom`` are raw dot-product tiles (sum over samples, not yet
     divided by n).  Returns per-row partial sums:
-    (l2_part, l2d_part, ws, wsd, wse, poison_count).
+    (l2_part, l2d_part, ws, wsd, wse, poison_count), extended with
+    (l2_annot_part, l2d_annot_part) — the masked adjusted-r² contracted
+    with the neighbor annotation slab — when ``aj`` (B_j, p) is given.
     """
     n = jnp.float32(n_samples)
     adj_c = (n - 1.0) / (n - 2.0)
@@ -52,7 +54,16 @@ def _tile_epilogue(c_add, c_dom, gi, gj, lo_i, hi_i, usable_i, usable_j,
     wse = jnp.sum((adj_dom > rsq_thr) & dmask, axis=1).astype(jnp.int32)
     # poison: zero-add-sd SNPs in window (self INCLUDED — ldscalc semantics)
     poison = jnp.sum(pair & poison_j[None, :], axis=1).astype(jnp.int32)
-    return l2_part, l2d_part, ws, wsd, wse, poison
+    if aj is None:
+        return l2_part, l2d_part, ws, wsd, wse, poison
+    # precision MUST be highest: the default TPU precision rounds the
+    # adjusted-r² operand to bf16 (~1e-3 per term -> ~5e-3 on the sums,
+    # observed on hardware); the skinny (B, band)@(band, p) cost is noise
+    l2a = jnp.dot(adj_add * basef, aj, precision="highest",
+                  preferred_element_type=jnp.float32)
+    l2da = jnp.dot(adj_dom * dmaskf, aj, precision="highest",
+                   preferred_element_type=jnp.float32)
+    return l2_part, l2d_part, ws, wsd, wse, poison, l2a, l2da
 
 
 def finalize_outputs(l2_acc, l2d_acc, ws, wsd, wse, poison, usable, add_sd_zero):

@@ -48,7 +48,8 @@ def to_host_result(l2, l2d, ws, wsd, wse, maf, rstd, m: int) -> dict:
 
 
 def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
-                      config: LDConfig, *, device=None) -> dict:
+                      config: LDConfig, *, device=None,
+                      progress=None) -> dict:
     """LD scores for an in-core genotype matrix.
 
     Parameters
@@ -56,6 +57,12 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
     genotypes : int8 (M, N) codes {0,1,2,-1}
     positions : float64 (M,); negative = skip sentinel
     config : LDConfig with ``rsq_thr`` resolved
+    progress : optional callable ``progress(done_rows, total_rows)`` —
+        when given (and the default int8-symmetric engine is selected) the
+        pass is dispatched in pivot segments with a completion fetch after
+        each, so the callback ticks with real device progress (reference
+        UX: the per-SNP ``indicators.h`` bar).  Costs one ~RTT stall per
+        segment; intended for minutes-long runs.
 
     Returns
     -------
@@ -105,7 +112,15 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
             jnp.asarray(lo_pad), jnp.asarray(hi_pad), pre["usable"], dom_ok,
             pre["add_sd_zero"], jnp.asarray(blk_lo), jnp.asarray(blk_hi),
             jnp.float32(config.rsq_thr))
-        if config.use_pallas:
+        if config.use_pallas and symmetric:
+            from . import ld_pallas_sym  # noqa: PLC0415
+            right_k = windows.right_band_blocks(blk_hi, B)
+            l2, l2d, ws, wsd, wse = ld_pallas_sym.ld_scores_pallas_int8_sym(
+                *int8_args[:9], rsq_thr=float(config.rsq_thr),
+                block_size=B, right_k=right_k, n_samples=n,
+                sample_chunk=config.sample_chunk, interpret=config.interpret,
+                has_missing=has_missing, dot_dtype=config.int8_dot_dtype)
+        elif config.use_pallas:
             from . import ld_pallas_int8  # noqa: PLC0415
             l2, l2d, ws, wsd, wse = ld_pallas_int8.ld_scores_pallas_int8(
                 *int8_args[:-1], rsq_thr=float(config.rsq_thr),
@@ -114,10 +129,36 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
                 has_missing=has_missing)
         elif symmetric:
             right_k = windows.right_band_blocks(blk_hi, B)
-            l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8_sym(
-                *int8_args, block_size=B, band_k=band_k, right_k=right_k,
-                n_samples=n, has_missing=has_missing,
-                dot_dtype=config.int8_dot_dtype)
+            n_blocks = m_pad // B
+            if progress is not None and n_blocks > 1:
+                from .ld_xla import finalize_outputs  # noqa: PLC0415
+                scan_args = int8_args[:9] + (int8_args[11],)  # drop blk_lo/hi
+                n_seg = min(16, n_blocks)
+                seg_blocks = -(-n_blocks // n_seg)
+                totals = None
+                done = 0
+                progress(0, m)
+                for s0 in range(0, n_blocks, seg_blocks):
+                    nb_s = min(seg_blocks, n_blocks - s0)
+                    accs = ld_int8.sym_scan_segment(
+                        *scan_args, jnp.int32(s0), block_size=B,
+                        right_k=right_k, n_samples=n, n_scan_blocks=nb_s,
+                        has_missing=has_missing,
+                        dot_dtype=config.int8_dot_dtype)
+                    totals = (accs if totals is None else
+                              jax.tree.map(jnp.add, totals, accs))
+                    np.asarray(accs[0][:1])        # completion fence
+                    done = min(done + nb_s * B, m)
+                    progress(done, m)
+                l2_c, ws_c, poi_c, l2d_c, wsd_c, wse_c = totals
+                l2, l2d, ws, wsd, wse = finalize_outputs(
+                    l2_c, l2d_c, ws_c, wsd_c, wse_c, poi_c,
+                    pre["usable"], pre["add_sd_zero"])
+            else:
+                l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8_sym(
+                    *int8_args, block_size=B, band_k=band_k, right_k=right_k,
+                    n_samples=n, has_missing=has_missing,
+                    dot_dtype=config.int8_dot_dtype)
         else:
             l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8(
                 *int8_args, block_size=B, band_k=band_k, n_samples=n,
@@ -159,8 +200,9 @@ def compute_ld_scores_annot(genotypes: np.ndarray, positions: np.ndarray,
 
     Like :func:`compute_ld_scores` plus an ``annot`` float64 (M, p) matrix;
     returns the standard result dict extended with ``l2_annot`` and
-    ``l2d_annot`` (M, p) float64 arrays.  Uses the f32 XLA engine (the
-    annotation contraction is one extra skinny matmul per tile).
+    ``l2d_annot`` (M, p) float64 arrays.  Routes through the integer-exact
+    engine by default (the annotation contraction is one extra skinny
+    matmul per tile); ``use_int8=False`` selects the f32 XLA engine.
     """
     m, n = genotypes.shape
     B = config.block_size
@@ -170,16 +212,38 @@ def compute_ld_scores_annot(genotypes: np.ndarray, positions: np.ndarray,
     lo, hi, pos_ok = windows.window_bounds(positions, config.ld_wind)
     blk_lo, blk_hi, band_k = windows.band_blocks(lo, hi, B, m_pad // B)
 
-    g = _pad_to(genotypes.astype(np.int8), m_pad, -1)
+    has_missing = bool((genotypes < 0).any())
+    use_int8 = config.use_int8 if config.use_int8 is not None else True
+    pad_val = np.int8(-1) if (has_missing or not use_int8) else np.int8(0)
+
+    g = _pad_to(genotypes.astype(np.int8), m_pad, pad_val)
     if n_pad != n:
         g = np.concatenate(
-            [g, np.full((m_pad, n_pad - n), -1, dtype=np.int8)], axis=1)
+            [g, np.full((m_pad, n_pad - n), pad_val, dtype=np.int8)], axis=1)
     pos_ok_pad = _pad_to(pos_ok, m_pad, False)
     lo_pad = _pad_to(lo, m_pad, np.int32(m_pad))
     hi_pad = _pad_to(hi, m_pad, np.int32(-1))
     a_pad = _pad_to(np.asarray(annot, dtype=np.float32), m_pad, 0.0)
 
     g_dev = jnp.asarray(g, device=device)
+    if use_int8:
+        from . import ld_int8  # noqa: PLC0415
+        pre = ld_int8.preprocess_int8(
+            g_dev, jnp.asarray(pos_ok_pad), jnp.float32(config.maf_thr),
+            n_samples=n, assume_no_missing=not has_missing)
+        dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
+        l2_a, l2d_a, l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8(
+            pre["g"], pre["m"], pre["h"], ld_int8.stack_scalars(pre),
+            jnp.asarray(lo_pad), jnp.asarray(hi_pad), pre["usable"], dom_ok,
+            pre["add_sd_zero"], jnp.asarray(blk_lo), jnp.asarray(blk_hi),
+            jnp.float32(config.rsq_thr), jnp.asarray(a_pad),
+            block_size=B, band_k=band_k, n_samples=n,
+            has_missing=has_missing, dot_dtype=config.int8_dot_dtype)
+        out = to_host_result(l2, l2d, ws, wsd, wse, pre["maf"], pre["rstd"], m)
+        out["l2_annot"] = np.asarray(l2_a, dtype=np.float64)[:m]
+        out["l2d_annot"] = np.asarray(l2d_a, dtype=np.float64)[:m]
+        return out
+
     pre = preprocess.preprocess_block(
         g_dev, jnp.asarray(pos_ok_pad), jnp.float32(config.maf_thr),
         n_samples=n)
@@ -218,6 +282,21 @@ def show_summary(result: dict) -> str:
 STREAMING_BYTES_THRESHOLD = 8 << 30
 
 
+def _progress_logger():
+    """Percent/elapsed/ETA logger for :func:`compute_ld_scores` progress."""
+    t0 = time.time()
+
+    def cb(done: int, total: int) -> None:
+        if done <= 0:
+            return
+        elapsed = time.time() - t0
+        eta = elapsed * (total - done) / done
+        log.info("LD pass: %d/%d SNPs (%.0f%%) | elapsed %.1fs | ETA %.1fs",
+                 done, total, 100.0 * done / total, elapsed, eta)
+
+    return cb
+
+
 @elapsed_time
 def estimate_lds(
     bfile: str,
@@ -239,6 +318,10 @@ def estimate_lds(
     n_devices: int | None = None,
     profile_dir: str | None = None,
     annot: str | None = None,
+    use_int8: bool | None = None,
+    symmetric: bool | None = None,
+    int8_dot_dtype: str = "int8",
+    progress: bool | None = None,
     verbose: int = 0,  # accepted for reference API drop-in compatibility
 ) -> pd.DataFrame | None:
     """Estimate additive + dominance LD scores from a PLINK bfile.
@@ -259,7 +342,8 @@ def estimate_lds(
     config = LDConfig(
         ld_wind=ld_wind, wind_metric=wind_metric, maf_thr=maf_thr,
         std_thr=std_thr, rsq_thr=rsq_thr, block_size=block_size,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, use_int8=use_int8, symmetric=symmetric,
+        int8_dot_dtype=int8_dot_dtype,
     ).resolve_rsq(ds.n_snp)
 
     log.info("Input: %s, size: (M=%d, N=%d)", ds.bed_path, ds.n_snp, ds.n_samples)
@@ -280,10 +364,18 @@ def estimate_lds(
 
             annot_mat, annot_names = read_annot(annot, ds.bim)
             log.info("Running the TPU LD estimator (partitioned, %d "
-                     "annotations)...", len(annot_names))
-            genotypes = ds.bed.read_all()
-            result = compute_ld_scores_annot(
-                genotypes, positions, annot_mat, config)
+                     "annotations%s)...", len(annot_names),
+                     ", streaming" if streaming else "")
+            if streaming:
+                from .streaming import (  # noqa: PLC0415
+                    compute_ld_scores_streaming)
+                result = compute_ld_scores_streaming(
+                    ds.bed, positions, config, chunk_rows=chunk_rows,
+                    resume_path=resume_path, annot=annot_mat)
+            else:
+                genotypes = ds.bed.read_all()
+                result = compute_ld_scores_annot(
+                    genotypes, positions, annot_mat, config)
             dt = time.time() - t0
             log.info("Estimation completed: %d SNPs in %.2fs (%.0f SNPs/s)",
                      ds.n_snp, dt, ds.n_snp / max(dt, 1e-9))
@@ -322,7 +414,13 @@ def estimate_lds(
                                            snp_mesh(n_dev))
             else:
                 log.info("Running the TPU LD estimator...")
-                result = compute_ld_scores(genotypes, positions, config)
+                # percent/ETA ticks by default for big runs (segmented
+                # dispatch costs ~1 RTT per tick — negligible at this size)
+                want_prog = (progress if progress is not None
+                             else ds.n_snp >= 20000)
+                cb = _progress_logger() if want_prog else None
+                result = compute_ld_scores(genotypes, positions, config,
+                                           progress=cb)
     dt = time.time() - t0
     log.info("Estimation completed: %d SNPs in %.2fs (%.0f SNPs/s)",
              ds.n_snp, dt, ds.n_snp / max(dt, 1e-9))

@@ -24,6 +24,7 @@ reference lacks entirely (SURVEY §5).
 from __future__ import annotations
 
 import os
+import time
 from functools import partial
 
 import numpy as np
@@ -42,9 +43,9 @@ from . import windows
                                    "n_piv_blocks", "has_missing",
                                    "dot_dtype"))
 def _banded_chunk_int8(pre, dom_ok_b, lo_piv, hi_piv, blk_lo_piv, band_g0,
-                       piv_off, m_pad, rsq_thr, *, block_size: int,
-                       band_k: int, n_samples: int, n_piv_blocks: int,
-                       has_missing: bool, dot_dtype: str):
+                       piv_off, m_pad, rsq_thr, annot_b=None, *,
+                       block_size: int, band_k: int, n_samples: int,
+                       n_piv_blocks: int, has_missing: bool, dot_dtype: str):
     """Integer-engine variant of :func:`_banded_chunk` (same geometry)."""
     from .ld_int8 import (corr_tiles, make_idot,  # noqa: PLC0415
                           scal_views, stack_scalars)
@@ -89,9 +90,11 @@ def _banded_chunk_int8(pre, dom_ok_b, lo_piv, hi_piv, blk_lo_piv, band_g0,
             sc_i, sc_j, n, n_padf, has_missing)
         c_add = r_add * n  # _tile_epilogue divides by n itself
         c_dom = r_dom * n
+        aj = (None if annot_b is None else
+              lax.dynamic_slice_in_dim(annot_b, j0, slab_rows, axis=0))
         return _tile_epilogue(c_add, c_dom, gi, gj, lo_i, hi_i, usable_i,
                               usable_j, dom_ok_j, poison_j, n_samples,
-                              rsq_thr)
+                              rsq_thr, aj)
 
     return lax.map(pivot_block, jnp.arange(n_piv_blocks, dtype=jnp.int32))
 
@@ -214,8 +217,8 @@ def _banded_chunk_int8_sym(pre, dom_ok_b, lo_piv, hi_piv, band_g0, m_pad,
                                    "n_piv_blocks", "precision"))
 def _banded_chunk(add_b, res_b, usable_b, dom_ok_b, poison_b,
                   lo_piv, hi_piv, blk_lo_piv, band_g0, piv_off, m_pad,
-                  rsq_thr, *, block_size: int, band_k: int, n_samples: int,
-                  n_piv_blocks: int, precision: str):
+                  rsq_thr, annot_b=None, *, block_size: int, band_k: int,
+                  n_samples: int, n_piv_blocks: int, precision: str):
     """Banded slab pass for one pivot chunk against its loaded band.
 
     add_b/res_b: (band_rows, n_pad) preprocessed band; *_b masks (band_rows,).
@@ -249,9 +252,11 @@ def _banded_chunk(add_b, res_b, usable_b, dom_ok_b, poison_b,
                         preferred_element_type=jnp.float32)
         c_dom = jnp.dot(ya, zr.T, precision=precision,
                         preferred_element_type=jnp.float32)
+        aj = (None if annot_b is None else
+              lax.dynamic_slice_in_dim(annot_b, j0, slab_rows, axis=0))
         return _tile_epilogue(c_add, c_dom, gi, gj, lo_i, hi_i, usable_i,
                               usable_j, dom_ok_j, poison_j, n_samples,
-                              rsq_thr)
+                              rsq_thr, aj)
 
     return lax.map(pivot_block, jnp.arange(n_piv_blocks, dtype=jnp.int32))
 
@@ -259,12 +264,18 @@ def _banded_chunk(add_b, res_b, usable_b, dom_ok_b, poison_b,
 def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                                 chunk_rows: int = 8192,
                                 resume_path: str | None = None,
-                                devices=None) -> dict:
+                                devices=None, annot=None) -> dict:
     """Streamed LD scores from a :class:`BedReader` (out-of-core in M).
 
     Same result contract as ``pipeline.compute_ld_scores``.  ``chunk_rows``
     bounds device memory: the band held on device is at most
     ``chunk_rows + 2*window_span`` rows (f32, both encodings).
+
+    ``annot``: optional (M, p) float annotation matrix — computes
+    PARTITIONED LD scores out-of-core (adds ``l2_annot``/``l2d_annot`` to
+    the result).  Partitioned runs use the full-band (non-symmetric)
+    engine: the annotation contraction is per-direction, so symmetric
+    credit mirroring does not apply.
 
     ``devices``: optional list of JAX devices — chunks are dispatched
     round-robin across them (each chunk's band is self-contained, so no
@@ -290,7 +301,7 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     # column credits for later chunks ride a host-side carry (checkpointed
     # in the shard files as `tail`)
     symmetric = ((config.symmetric if config.symmetric is not None else True)
-                 and use_int8)
+                 and use_int8 and annot is None)
 
     # fixed shapes across chunks -> one trace: pivot span always chunk_rows;
     # edges handled by masking
@@ -314,6 +325,13 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                                                "residuals_std")}
     for k in ("l2_ws", "l2d_ws", "l2d_wse"):
         out[k] = np.full(m_ext, -1, dtype=np.int64)
+    annot_pad = None
+    if annot is not None:
+        p_annot = annot.shape[1]
+        annot_pad = np.zeros((m_ext, p_annot), dtype=np.float32)
+        annot_pad[:m] = np.asarray(annot, dtype=np.float32)
+        out["l2_annot"] = np.full((m_ext, p_annot), np.nan)
+        out["l2d_annot"] = np.full((m_ext, p_annot), np.nan)
 
     # checkpoint = a DIRECTORY of per-chunk shard files: each completed
     # chunk is written exactly once (atomic tmp+rename), so total
@@ -330,17 +348,33 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
 
         ck_dir = Path(resume_path)
         ck_dir.mkdir(parents=True, exist_ok=True)
+        # the meta must pin EVERYTHING that changes per-chunk results:
+        # geometry, every filter threshold, the window metric, the engine
+        # numerics, and the input .bed identity (path + size — a cheap
+        # content fingerprint without hashing GBs).  Resuming with any
+        # mismatch would silently splice inconsistent chunks into one .L2.
         meta = {"m": m, "n": n, "chunk_rows": chunk_rows, "block_size": B,
                 "ld_wind": float(config.ld_wind),
-                "engine": "sym" if symmetric else "full"}
+                "wind_metric": config.wind_metric,
+                "maf_thr": float(config.maf_thr),
+                "std_thr": float(config.std_thr),
+                "rsq_thr": float(config.rsq_thr),
+                "engine": "sym" if symmetric else "full",
+                "annot_p": -1 if annot is None else annot.shape[1],
+                "dot_dtype": config.int8_dot_dtype if use_int8 else "f32",
+                "bed_path": os.path.abspath(getattr(bed, "path", "")),
+                "bed_bytes": (os.path.getsize(bed.path)
+                              if getattr(bed, "path", None) else 0)}
         meta_path = ck_dir / "meta.json"
         if meta_path.exists():
             saved_meta = json.loads(meta_path.read_text())
-            if saved_meta != meta:
+            diff = {k: (saved_meta.get(k), v) for k, v in meta.items()
+                    if saved_meta.get(k) != v}
+            if diff:
                 raise ValueError(
                     f"checkpoint {ck_dir} was written with different "
-                    f"parameters ({saved_meta} != {meta}); use a fresh "
-                    "checkpoint directory")
+                    f"parameters — refusing to resume (mismatched: {diff}); "
+                    "use a fresh checkpoint directory")
         else:
             meta_path.write_text(json.dumps(meta))
         shards = {}
@@ -405,6 +439,14 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
             a = jnp.asarray(x)
             return jax.device_put(a, dev) if dev is not None else a
 
+        annot_b = None
+        if annot_pad is not None:
+            ab = np.zeros((band_rows, annot_pad.shape[1]), np.float32)
+            a0, a1 = max(band_lo, 0), min(band_lo + band_rows, m_ext)
+            if a1 > a0:
+                ab[a0 - band_lo:a1 - band_lo] = annot_pad[a0:a1]
+            annot_b = dev_put(ab)
+
         if symmetric:
             from . import ld_int8  # noqa: PLC0415
 
@@ -433,7 +475,7 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                 jnp.float32(config.maf_thr), n_samples=n)
             dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
             accs = _banded_chunk_int8(
-                pre, dom_ok, *chunk_args,
+                pre, dom_ok, *chunk_args, annot_b,
                 block_size=B, band_k=band_k, n_samples=n,
                 n_piv_blocks=n_piv_blocks, has_missing=chunk_has_missing,
                 dot_dtype=config.int8_dot_dtype)
@@ -444,7 +486,7 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
             dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
             accs = _banded_chunk(
                 pre["add"], pre["res"], pre["usable"], dom_ok,
-                pre["add_sd_zero"], *chunk_args,
+                pre["add_sd_zero"], *chunk_args, annot_b,
                 block_size=B, band_k=band_k, n_samples=n,
                 n_piv_blocks=n_piv_blocks, precision=config.matmul_precision)
         return pre, accs
@@ -481,9 +523,24 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                 jnp.asarray(poi_c.astype(np.int32)),
                 jnp.asarray(usable_p), jnp.asarray(poison_p))
         else:
+            flat = [np.asarray(a) for a in accs]
             fin = finalize_outputs(
-                *(jnp.asarray(np.asarray(a).reshape(chunk_rows)) for a in accs),
+                *(jnp.asarray(a.reshape(chunk_rows)) for a in flat[:6]),
                 jnp.asarray(usable_p), jnp.asarray(poison_p))
+            if annot_pad is not None:
+                # annot sentinel semantics (mirrors ld_scores_xla_annot)
+                pa = annot_pad.shape[1]
+                l2a = flat[6].reshape(chunk_rows, pa).astype(np.float64)
+                l2da = flat[7].reshape(chunk_rows, pa).astype(np.float64)
+                wsd_c = flat[3].reshape(chunk_rows)
+                poi_c = flat[5].reshape(chunk_rows)
+                good = (usable_p & (poi_c == 0))[:, None]
+                self_a = annot_pad[p0:p1].astype(np.float64)
+                out["l2_annot"][p0:p1] = np.where(good, self_a + l2a, np.nan)
+                l2d_bad = np.where(wsd_c > 0, np.nan, 0.0)[:, None]
+                out["l2d_annot"][p0:p1] = np.where(
+                    usable_p[:, None],
+                    np.where(poison_p[:, None], l2d_bad, l2da), np.nan)
         l2, l2d, ws, wsd, wse = (np.asarray(f) for f in fin)
 
         out["l2"][p0:p1] = l2
@@ -500,10 +557,16 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
             extra = {"tail": tail} if tail is not None else {}
             np.savez(tmp, **{k: out[k][p0:p1] for k in out}, **extra)
             os.replace(tmp, ck_dir / f"chunk_{ci:06d}.npz")
-        log.info("chunk %d/%d done (rows %d..%d, band %d rows)",
-                 ci + 1, n_chunks, p0, p1, band_rows)
+        n_run = len(done) - n_resumed
+        elapsed = time.time() - t_start
+        eta = elapsed * (n_chunks - len(done)) / max(n_run, 1)
+        log.info("chunk %d/%d done (%.0f%%, rows %d..%d) | elapsed %.1fs "
+                 "| ETA %.1fs", len(done), n_chunks,
+                 100.0 * len(done) / n_chunks, p0, p1, elapsed, eta)
 
     todo = [ci for ci in range(n_chunks) if ci not in done]
+    n_resumed = len(done)
+    t_start = time.time()
     pool = ThreadPoolExecutor(max_workers=1)
     prefetch = pool.submit(read_band, todo[0]) if todo else None
     in_flight: deque = deque()  # (ci, pre, accs) pending collection

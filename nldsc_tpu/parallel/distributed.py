@@ -77,6 +77,81 @@ def make_global_genotypes(local_rows: np.ndarray, m_pad: int, mesh):
                                                   (m_pad,) + local_rows.shape[1:])
 
 
+def device_row_ranges(m_pad: int, mesh):
+    """Per-device contiguous global row ranges ``(r0, r1, device)``."""
+    devices = list(mesh.devices.flat)
+    per = m_pad // len(devices)
+    return [(i * per, (i + 1) * per, d) for i, d in enumerate(devices)]
+
+
+def estimate_lds_mesh(bfile: str, ld_wind: float, wind_metric: str,
+                      maf_thr: float = 1e-5, std_thr: float = 1e-5,
+                      rsq_thr: float | None = None, *, out: str | None = None,
+                      extra: bool = False, block_size: int = 512,
+                      mesh=None, write_m: bool = True):
+    """Mesh-level driver: ONE chromosome sharded across all hosts/devices.
+
+    The end-to-end P4 path: each participant byte-range-decodes only its
+    own SNP rows of the .bed (``BedReader.read_block`` — a SNP range is a
+    contiguous byte range in the SNP-major layout), the global sharded
+    array is assembled without any host ever holding the full matrix, and
+    the shard_map engine's halo ppermutes ride ICI/DCN.
+
+    Multi-process: each process ingests its :func:`shard_rows_for_process`
+    range (``jax.make_array_from_process_local_data``).  Single-process:
+    each *device* is treated as an ingestion unit (per-device byte-range
+    reads + ``make_array_from_single_device_arrays``) — the same assembly
+    path CI exercises on the 8-virtual-device harness.
+
+    Returns the result DataFrame (or writes ``out`` like ``estimate_lds``).
+    """
+    from ..config import LDConfig
+    from ..io.ldscores import make_output, write_l2, write_m_files
+    from ..io.plink import PlinkDataset
+    from .sharded import ld_scores_sharded_global, sharded_geometry
+
+    ds = PlinkDataset.parse(bfile)
+    m, n = ds.n_snp, ds.n_samples
+    config = LDConfig(
+        ld_wind=ld_wind, wind_metric=wind_metric, maf_thr=maf_thr,
+        std_thr=std_thr, rsq_thr=rsq_thr, block_size=block_size,
+    ).resolve_rsq(m)
+    positions = ds.positions(config.wind_metric)
+    if mesh is None:
+        mesh = global_snp_mesh()
+    m_pad, n_pad, _, _ = sharded_geometry(m, n, positions, config, mesh)
+
+    def read_rows(r0: int, r1: int) -> np.ndarray:
+        """Byte-range decode of global rows [r0, r1) with -1 padding."""
+        buf = np.full((r1 - r0, n_pad), -1, dtype=np.int8)
+        s1 = min(r1, m)
+        if s1 > r0:
+            buf[:s1 - r0, :n] = ds.bed.read_block(r0, s1 - r0)
+        return buf
+
+    if jax.process_count() > 1:
+        start, stop = shard_rows_for_process(m_pad, mesh)
+        log.info("mesh-level: process %d ingests rows [%d, %d)",
+                 jax.process_index(), start, stop)
+        g_global = make_global_genotypes(read_rows(start, stop), m_pad, mesh)
+    else:
+        sharding = NamedSharding(mesh, P(SNP_AXIS))
+        shards = [jax.device_put(read_rows(r0, r1), d)
+                  for r0, r1, d in device_row_ranges(m_pad, mesh)]
+        g_global = jax.make_array_from_single_device_arrays(
+            (m_pad, n_pad), sharding, shards)
+
+    result = ld_scores_sharded_global(g_global, positions, config, mesh,
+                                      m, n)
+    out_df = make_output(ds.bim, result, extra=extra)
+    if out:
+        write_l2(out_df, out)
+        if write_m:
+            write_m_files(result, out)
+        return None
+    return out_df
+
+
 def estimate_lds_multihost(bfiles: list[str], out_template: str = "{stem}.L2",
                            **kwargs) -> list[str]:
     """Job-level multi-host driver: run this host's chromosomes locally.

@@ -409,17 +409,15 @@ def _sharded_call(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
     return l2, l2d, ws_o, wsd_o, wse_o, maf, rstd_o
 
 
-def ld_scores_sharded(genotypes: np.ndarray, positions: np.ndarray, config,
-                      mesh) -> dict:
-    """Sharded in-core LD scores over a 1-D device mesh.
+def sharded_geometry(m: int, n: int, positions: np.ndarray, config, mesh):
+    """Host-side padded geometry shared by the sharded entry points.
 
-    Same host contract as ``pipeline.compute_ld_scores`` but the genotype
-    matrix is scattered row-wise over ``mesh`` and everything downstream —
-    preprocessing, halo exchange, banded matmuls — runs under shard_map.
+    Returns ``(m_pad, n_pad, meta, kwargs)`` where ``meta`` is the tuple of
+    replicated metadata arrays for :func:`_sharded_call` and ``kwargs`` its
+    static keyword arguments (minus ``has_missing``).
     """
     from ..ld import windows  # noqa: PLC0415
 
-    m, n = genotypes.shape
     B = config.block_size
     n_dev = mesh.devices.size
     chunk = B * n_dev
@@ -436,14 +434,11 @@ def ld_scores_sharded(genotypes: np.ndarray, positions: np.ndarray, config,
     # in the halo (degenerates to a replicated extend, still correct)
     halo_rows = min(-(-halo // B) * B, m_pad - L)
 
-    g = np.full((m_pad, n_pad), -1, dtype=np.int8)
-    g[:m, :n] = genotypes
     pos_ok_pad = np.zeros(m_pad, dtype=bool)
     pos_ok_pad[:m] = pos_ok
     lo_pad = np.concatenate([lo, np.full(m_pad - m, m_pad, np.int32)]).astype(np.int32)
     hi_pad = np.concatenate([hi, np.full(m_pad - m, -1, np.int32)]).astype(np.int32)
 
-    has_missing = bool((genotypes < 0).any())
     # same default policy as the single-device driver: integer engine and
     # the symmetric formulation always (scripts/time_sym2.py measurements)
     use_int8 = config.use_int8 if config.use_int8 is not None else True
@@ -451,16 +446,71 @@ def ld_scores_sharded(genotypes: np.ndarray, positions: np.ndarray, config,
                  and use_int8)
     right_k = windows.right_band_blocks(blk_hi, B)
 
+    meta = (jnp.asarray(pos_ok_pad), jnp.asarray(lo_pad),
+            jnp.asarray(hi_pad), jnp.asarray(blk_lo), jnp.asarray(blk_hi))
+    kwargs = dict(
+        maf_thr=float(config.maf_thr), std_thr=float(config.std_thr),
+        rsq_thr=float(config.rsq_thr), n_samples=n, block_size=B,
+        band_k=band_k, right_k=right_k, halo_rows=halo_rows,
+        precision=config.matmul_precision, mesh=mesh,
+        use_int8=use_int8, symmetric=symmetric,
+        dot_dtype=config.int8_dot_dtype)
+    return m_pad, n_pad, meta, kwargs
+
+
+def ld_scores_sharded_global(g_global, positions: np.ndarray, config, mesh,
+                             m: int, n: int) -> dict:
+    """Sharded LD scores on an ALREADY-sharded global genotype array.
+
+    The mesh-level multi-host entry point (SURVEY §2.2 P4): each process
+    byte-range-decodes only its own row range of the .bed and assembles
+    ``g_global`` with ``jax.make_array_from_process_local_data`` (see
+    :mod:`nldsc_tpu.parallel.distributed`) — no host ever holds the full
+    matrix.  ``g_global`` must be (m_pad, n_pad) int8, padding rows/cols
+    -1, sharded ``P(SNP_AXIS)`` over ``mesh``.
+
+    ``has_missing`` is pinned True (the compiled program must be identical
+    on every process; scanning the data would need a pre-pass collective).
+    """
+    m_pad, n_pad, meta, kwargs = sharded_geometry(m, n, positions, config,
+                                                  mesh)
+    if tuple(g_global.shape) != (m_pad, n_pad):
+        raise ValueError(f"g_global shape {g_global.shape} != padded "
+                         f"({m_pad}, {n_pad})")
     with mesh:
-        outs = _sharded_call(
-            jnp.asarray(g), jnp.asarray(pos_ok_pad), jnp.asarray(lo_pad),
-            jnp.asarray(hi_pad), jnp.asarray(blk_lo), jnp.asarray(blk_hi),
-            maf_thr=float(config.maf_thr), std_thr=float(config.std_thr),
-            rsq_thr=float(config.rsq_thr), n_samples=n, block_size=B,
-            band_k=band_k, right_k=right_k, halo_rows=halo_rows,
-            precision=config.matmul_precision, mesh=mesh,
-            use_int8=use_int8, symmetric=symmetric, has_missing=has_missing,
-            dot_dtype=config.int8_dot_dtype)
+        outs = _sharded_call(g_global, *meta, has_missing=True, **kwargs)
+
+    l2, l2d, ws, wsd, wse, maf, rstd = outs
+    return {
+        "l2": np.asarray(l2, dtype=np.float64)[:m],
+        "l2d": np.asarray(l2d, dtype=np.float64)[:m],
+        "maf": np.asarray(maf, dtype=np.float64)[:m],
+        "residuals_std": np.asarray(rstd, dtype=np.float64)[:m],
+        "l2_ws": np.asarray(ws, dtype=np.int64)[:m],
+        "l2d_ws": np.asarray(wsd, dtype=np.int64)[:m],
+        "l2d_wse": np.asarray(wse, dtype=np.int64)[:m],
+    }
+
+
+def ld_scores_sharded(genotypes: np.ndarray, positions: np.ndarray, config,
+                      mesh) -> dict:
+    """Sharded in-core LD scores over a 1-D device mesh.
+
+    Same host contract as ``pipeline.compute_ld_scores`` but the genotype
+    matrix is scattered row-wise over ``mesh`` and everything downstream —
+    preprocessing, halo exchange, banded matmuls — runs under shard_map.
+    """
+    m, n = genotypes.shape
+    m_pad, n_pad, meta, kwargs = sharded_geometry(m, n, positions, config,
+                                                  mesh)
+
+    g = np.full((m_pad, n_pad), -1, dtype=np.int8)
+    g[:m, :n] = genotypes
+    has_missing = bool((genotypes < 0).any())
+
+    with mesh:
+        outs = _sharded_call(jnp.asarray(g), *meta,
+                             has_missing=has_missing, **kwargs)
 
     l2, l2d, ws, wsd, wse, maf, rstd = outs
     return {

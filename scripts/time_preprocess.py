@@ -51,8 +51,8 @@ print(f"preprocess_int8: {dt_pre*1e3:7.1f} ms")
 def run_kernel(pre):
     dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(1e-4))
     out = ld_int8.ld_scores_int8_sym(
-        pre["g"], pre["m"], pre["h"], pre["am"], pre["dm"], pre["slope"],
-        pre["inv_sd"], pre["inv_rstd"], jnp.asarray(lo), jnp.asarray(hi),
+        pre["g"], pre["m"], pre["h"], ld_int8.stack_scalars(pre),
+        jnp.asarray(lo), jnp.asarray(hi),
         pre["usable"], dom_ok, pre["add_sd_zero"], jnp.asarray(blk_lo),
         jnp.asarray(blk_hi), jnp.float32(1e-4), block_size=B, band_k=band_k,
         right_k=right_k, n_samples=N, has_missing=False, dot_dtype="bf16")

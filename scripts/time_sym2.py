@@ -34,8 +34,8 @@ def setup(seed, missing_rate):
     pre = ld_int8.preprocess_int8(jnp.asarray(g), jnp.asarray(pos_ok),
                                   jnp.float32(0.01), n_samples=N)
     dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(1e-4))
-    args = (pre["g"], pre["m"], pre["h"], pre["am"], pre["dm"], pre["slope"],
-            pre["inv_sd"], pre["inv_rstd"], jnp.asarray(lo), jnp.asarray(hi),
+    args = (pre["g"], pre["m"], pre["h"], ld_int8.stack_scalars(pre),
+            jnp.asarray(lo), jnp.asarray(hi),
             pre["usable"], dom_ok, pre["add_sd_zero"],
             jnp.asarray(blk_lo), jnp.asarray(blk_hi), jnp.float32(1e-4))
     np.asarray(args[0][:2])  # force staging

@@ -31,6 +31,43 @@ def test_make_global_genotypes_roundtrip(rng):
     assert len(arr.sharding.device_set) == 8
 
 
+def test_mesh_level_end_to_end_matches_dense(tmp_path, rng):
+    """The full P4 path: per-device byte-range .bed ingestion -> global
+    sharded assembly -> shard_map engine == the dense single-device result
+    (each of the 8 virtual devices stands in for a host)."""
+    from nldsc_tpu.config import LDConfig
+    from nldsc_tpu.io.plink import write_plink
+    from nldsc_tpu.ld.pipeline import compute_ld_scores
+
+    m, n = 300, 150
+    g = random_genotypes(rng, m, n, missing_rate=0.03)
+    pos = make_positions(m, spacing=700, jitter_rng=rng)
+    prefix = write_plink(tmp_path / "mesh", g, bp=pos.astype(np.int64))
+
+    mesh = snp_mesh(8)
+    df = dist.estimate_lds_mesh(prefix, ld_wind=6, wind_metric="kbp",
+                                maf_thr=0.01, std_thr=1e-4, block_size=16,
+                                mesh=mesh, extra=True)
+
+    cfg = LDConfig(ld_wind=6, wind_metric="kbp", maf_thr=0.01, std_thr=1e-4,
+                   rsq_thr=None, block_size=16).resolve_rsq(m)
+    dense = compute_ld_scores(g, pos.astype(np.float64), cfg)
+    np.testing.assert_allclose(df["L2"].to_numpy(), dense["l2"],
+                               rtol=1e-5, atol=1e-5, equal_nan=True)
+    np.testing.assert_allclose(df["L2D"].to_numpy(), dense["l2d"],
+                               rtol=1e-5, atol=1e-5, equal_nan=True)
+    np.testing.assert_array_equal(df["WSA"].to_numpy(), dense["l2_ws"])
+    np.testing.assert_array_equal(df["WSDE"].to_numpy(), dense["l2d_wse"])
+
+    # writing through the same output machinery as estimate_lds
+    out = str(tmp_path / "mesh.L2")
+    dist.estimate_lds_mesh(prefix, ld_wind=6, wind_metric="kbp",
+                           maf_thr=0.01, std_thr=1e-4, block_size=16,
+                           mesh=mesh, out=out)
+    import os
+    assert os.path.exists(out) and os.path.exists(str(tmp_path / "mesh.M"))
+
+
 def test_multihost_driver_runs_locally(tmp_path, rng):
     from nldsc_tpu.io.plink import write_plink
 

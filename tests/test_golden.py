@@ -45,15 +45,15 @@ def test_oracle_reproduces_golden(golden):
 
 
 @pytest.mark.parametrize(
-    "engine", ["int8", "int8-sym", "int8-pallas", "f32-sym", "f32-plain",
-               "f32-pallas"])
+    "engine", ["int8", "int8-sym", "int8-pallas", "int8-pallas-sym",
+               "f32-sym", "f32-plain", "f32-pallas"])
 def test_engines_match_golden(golden, engine):
     cfg = LDConfig(ld_wind=WIND, wind_metric="bp", maf_thr=MAF, std_thr=STD,
                    rsq_thr=RSQ, block_size=32,
                    use_int8=engine.startswith("int8"),
                    symmetric=engine.endswith("sym"),
-                   use_pallas=engine.endswith("pallas"),
-                   interpret=engine.endswith("pallas"), sample_chunk=128)
+                   use_pallas="pallas" in engine,
+                   interpret="pallas" in engine, sample_chunk=128)
     res = compute_ld_scores(golden["genotypes"], golden["positions"], cfg)
     check(res, golden)
 

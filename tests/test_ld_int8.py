@@ -124,3 +124,27 @@ def test_int8_sym2_direct_parity(rng):
                                equal_nan=True)
     np.testing.assert_array_equal(res["l2_ws"], ora["l2_ws"])
     np.testing.assert_array_equal(res["l2d_wse"], ora["l2d_wse"])
+
+
+def test_segmented_progress_matches_single_scan(rng):
+    # the percent/ETA progress path dispatches sym_scan_segment per pivot
+    # segment; summed segments + finalize must equal the one-shot engine
+    from nldsc_tpu.config import LDConfig
+    from nldsc_tpu.ld.pipeline import compute_ld_scores
+
+    g = random_genotypes(rng, 260, 200, missing_rate=0.03)
+    pos = make_positions(260, spacing=700, jitter_rng=rng)
+    cfg = LDConfig(ld_wind=6000, wind_metric="bp", maf_thr=0.01,
+                   std_thr=1e-4, rsq_thr=1e-3, block_size=16)
+    plain = compute_ld_scores(g, pos, cfg)
+
+    ticks = []
+    seg = compute_ld_scores(g, pos, cfg,
+                            progress=lambda d, t: ticks.append((d, t)))
+    for k in ("l2", "l2d", "maf", "residuals_std"):
+        np.testing.assert_allclose(seg[k], plain[k], rtol=1e-6, atol=1e-6,
+                                   equal_nan=True, err_msg=k)
+    for k in ("l2_ws", "l2d_ws", "l2d_wse"):
+        np.testing.assert_array_equal(seg[k], plain[k], err_msg=k)
+    assert ticks[0] == (0, 260) and ticks[-1] == (260, 260)
+    assert len(ticks) >= 3  # real intermediate ticks

@@ -88,6 +88,24 @@ def test_streaming_resume(tmp_path, rng):
         compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg,
                                     chunk_rows=128, resume_path=resume)
 
+    # so is ANY filter-threshold change (a stale checkpoint must never
+    # silently corrupt an .L2) ...
+    for field, val in (("maf_thr", 0.05), ("std_thr", 1e-3),
+                       ("rsq_thr", 0.05), ("ld_wind", 4000)):
+        cfg_bad = LDConfig(**{**dict(
+            ld_wind=5000, wind_metric="bp", maf_thr=0.01, std_thr=1e-4,
+            rsq_thr=1e-3, block_size=16), field: val})
+        with pytest.raises(ValueError, match="different parameters"):
+            compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg_bad,
+                                        chunk_rows=64, resume_path=resume)
+
+    # ... and a different .bed file (identity pinned by path+size)
+    (tmp_path / "other").mkdir()
+    g2, pos2, bed2 = _setup(tmp_path / "other", rng)
+    with pytest.raises(ValueError, match="different parameters"):
+        compute_ld_scores_streaming(bed2, pos2.astype(np.float64), cfg,
+                                    chunk_rows=64, resume_path=resume)
+
 
 def test_streaming_multi_device_matches_dense(tmp_path, rng):
     # round-robin chunk dispatch over the 8 virtual CPU devices must be
