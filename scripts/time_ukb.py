@@ -1,0 +1,62 @@
+"""UKB-scale sample-count config on one chip (VERDICT r1 item 3).
+
+M=4096 SNPs x N=300,032 samples (UKB-like N), window ±1000 SNPs, one
+dispatch, data generated on device.  Usage: python scripts/time_ukb.py
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nldsc_tpu.ld import ld_int8, windows
+
+M, N, W, B = 4096, 300032, 1000, 256
+SPACING = 100.0
+
+pos = np.arange(1, M + 1, dtype=np.float64) * SPACING
+lo, hi, pos_ok = windows.window_bounds(pos, W * SPACING)
+blk_lo, blk_hi, band_k = windows.band_blocks(lo, hi, B, M // B)
+right_k = windows.right_band_blocks(blk_hi, B)
+meta = (jnp.asarray(pos_ok), jnp.asarray(lo), jnp.asarray(hi),
+        jnp.asarray(blk_lo), jnp.asarray(blk_hi))
+
+for miss in (False, True):
+    @jax.jit
+    def gen(key, miss=miss):
+        g = jax.random.randint(key, (M, N), 0, 3, jnp.int8)
+        if miss:
+            mk = jax.random.bernoulli(jax.random.fold_in(key, 1), 0.02,
+                                      (M, N))
+            g = jnp.where(mk, jnp.int8(-1), g)
+        return g
+
+    @jax.jit
+    def full_pass(g_dev, miss=miss):
+        pre = ld_int8.preprocess_int8(g_dev, meta[0], jnp.float32(0.01),
+                                      n_samples=N, assume_no_missing=not miss)
+        dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(1e-4))
+        out = ld_int8.ld_scores_int8_sym(
+            pre["g"], pre["m"], pre["h"], ld_int8.stack_scalars(pre),
+            meta[1], meta[2], pre["usable"], dom_ok, pre["add_sd_zero"],
+            meta[3], meta[4], jnp.float32(1e-4), block_size=B,
+            band_k=band_k, right_k=right_k, n_samples=N,
+            has_missing=miss, dot_dtype="int8")
+        return out[0]
+
+    gw, gt = gen(jax.random.PRNGKey(1)), gen(jax.random.PRNGKey(2))
+    np.asarray(gw[:1, :1]); np.asarray(gt[:1, :1])
+    np.asarray(full_pass(gw))
+    t0 = time.time()
+    l2 = np.asarray(full_pass(gt))
+    dt = time.time() - t0
+    assert np.isfinite(l2).sum() > M * 0.9
+    n_dots = 8 if miss else 3
+    ops = n_dots * 2.0 * M * right_k * B * N
+    print(f"UKB-N miss={miss}: {dt*1e3:7.1f} ms  {M/dt:9,.0f} SNPs/s  "
+          f"({ops/dt/1e12:5.1f} Tops/s actual)", flush=True)
