@@ -136,6 +136,56 @@ class BedReader:
     def read_all(self) -> np.ndarray:
         return self.read_block(0, self.n_snp)
 
+    def read_raw(self, start: int = 0, count: int | None = None) -> "PackedBed":
+        """Packed 2-bit rows [start, start+count) WITHOUT decoding.
+
+        The device-decode path: ship these bytes to the accelerator (4×
+        less transfer than int8 codes) and unpack on device
+        (:func:`nldsc_tpu.ld.preprocess.unpack_bed`).
+        """
+        count = self.n_snp - start if count is None else count
+        if start < 0 or start + count > self.n_snp:
+            raise ValueError(f"block [{start}, {start + count}) out of range")
+        with open(self.path, "rb", buffering=0) as f:
+            f.seek(3 + start * self.bytes_per_snp)
+            raw = f.read(count * self.bytes_per_snp)
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(
+            count, self.bytes_per_snp).copy()
+        return PackedBed(arr, count, self.n_samples,
+                         _packed_has_missing(arr, self.n_samples))
+
+
+#: per-byte: does any of the first k bitpairs decode to missing (01)?
+_MISS_LUT = np.zeros((256, 5), dtype=bool)
+for _b in range(256):
+    for _k in range(1, 5):
+        _MISS_LUT[_b, _k] = any(((_b >> (2 * _j)) & 0b11) == 0b01
+                                for _j in range(_k))
+
+
+def _packed_has_missing(raw: np.ndarray, n_samples: int) -> bool:
+    """True iff any VALID bitpair is the missing code (pad bitpairs in the
+    last byte are ignored — writers are supposed to zero them but need
+    not)."""
+    tail_pairs = n_samples - (raw.shape[1] - 1) * 4
+    if raw.shape[1] > 1 and _MISS_LUT[raw[:, :-1], 4].any():
+        return True
+    return bool(_MISS_LUT[raw[:, -1], tail_pairs].any())
+
+
+@dataclass
+class PackedBed:
+    """Un-decoded SNP-major .bed rows (device-decode input)."""
+
+    raw: np.ndarray        # (n_snp, bytes_per_snp) uint8
+    n_snp: int
+    n_samples: int
+    has_missing: bool
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.n_snp, self.n_samples)
+
 
 def read_bim(path: str | os.PathLike, single_chromosome: bool = True) -> pd.DataFrame:
     """Read a .bim file (reference: ``nldsc/ldscore/common.py:76-117``).

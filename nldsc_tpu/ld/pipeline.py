@@ -68,7 +68,14 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
     -------
     dict of host float64/int64 arrays: l2, l2d, maf, residuals_std,
     l2_ws, l2d_ws, l2d_wse — the reference ``LDScoreResult`` fields.
+
+    ``genotypes`` may also be an :class:`nldsc_tpu.io.plink.PackedBed`
+    (un-decoded 2-bit rows): the codes are then unpacked ON DEVICE,
+    shipping 4× fewer bytes host→device — the TPU-native ingestion path.
     """
+    from ..io.plink import PackedBed  # noqa: PLC0415
+
+    packed = isinstance(genotypes, PackedBed)
     m, n = genotypes.shape
     B = config.block_size
     m_pad = -(-m // B) * B
@@ -82,19 +89,31 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
     # real missing, pad with ZEROS and let preprocess alias g/m (skips two
     # O(M·N) int8 materializations — the algebra is invariant, see
     # preprocess_int8).
-    has_missing = bool((genotypes < 0).any())
+    has_missing = (genotypes.has_missing if packed
+                   else bool((genotypes < 0).any()))
     use_int8 = config.use_int8 if config.use_int8 is not None else True
     pad_val = np.int8(-1) if (has_missing or not use_int8) else np.int8(0)
 
-    g = _pad_to(genotypes.astype(np.int8), m_pad, pad_val)
-    if n_pad != n:
-        g = np.concatenate(
-            [g, np.full((m_pad, n_pad - n), pad_val, dtype=np.int8)], axis=1)
     pos_ok_pad = _pad_to(pos_ok, m_pad, False)
     lo_pad = _pad_to(lo, m_pad, np.int32(m_pad))   # empty window for padding
     hi_pad = _pad_to(hi, m_pad, np.int32(-1))
 
-    g_dev = jnp.asarray(g, device=device)
+    if packed:
+        # pad ROWS in byte space (0x55 = four missing bitpairs, 0x00 =
+        # four zero codes — consistent with pad_val); columns are handled
+        # inside the device unpack
+        pad_byte = np.uint8(0x55) if pad_val == -1 else np.uint8(0x00)
+        raw = _pad_to(genotypes.raw, m_pad, pad_byte)
+        raw_dev = jnp.asarray(raw, device=device)
+        g_dev = preprocess.unpack_bed(raw_dev, n_samples=n, n_pad=n_pad,
+                                      pad_val=int(pad_val))
+    else:
+        g = _pad_to(genotypes.astype(np.int8), m_pad, pad_val)
+        if n_pad != n:
+            g = np.concatenate(
+                [g, np.full((m_pad, n_pad - n), pad_val, dtype=np.int8)],
+                axis=1)
+        g_dev = jnp.asarray(g, device=device)
 
     # measured on v5e (scripts/time_sym2.py, M=N=16384, W=1000): the
     # one-pass symmetric engine beats full-band BOTH with and without
@@ -204,6 +223,9 @@ def compute_ld_scores_annot(genotypes: np.ndarray, positions: np.ndarray,
     engine by default (the annotation contraction is one extra skinny
     matmul per tile); ``use_int8=False`` selects the f32 XLA engine.
     """
+    from ..io.plink import PackedBed  # noqa: PLC0415
+
+    packed = isinstance(genotypes, PackedBed)
     m, n = genotypes.shape
     B = config.block_size
     m_pad = -(-m // B) * B
@@ -212,20 +234,29 @@ def compute_ld_scores_annot(genotypes: np.ndarray, positions: np.ndarray,
     lo, hi, pos_ok = windows.window_bounds(positions, config.ld_wind)
     blk_lo, blk_hi, band_k = windows.band_blocks(lo, hi, B, m_pad // B)
 
-    has_missing = bool((genotypes < 0).any())
+    has_missing = (genotypes.has_missing if packed
+                   else bool((genotypes < 0).any()))
     use_int8 = config.use_int8 if config.use_int8 is not None else True
     pad_val = np.int8(-1) if (has_missing or not use_int8) else np.int8(0)
 
-    g = _pad_to(genotypes.astype(np.int8), m_pad, pad_val)
-    if n_pad != n:
-        g = np.concatenate(
-            [g, np.full((m_pad, n_pad - n), pad_val, dtype=np.int8)], axis=1)
     pos_ok_pad = _pad_to(pos_ok, m_pad, False)
     lo_pad = _pad_to(lo, m_pad, np.int32(m_pad))
     hi_pad = _pad_to(hi, m_pad, np.int32(-1))
     a_pad = _pad_to(np.asarray(annot, dtype=np.float32), m_pad, 0.0)
 
-    g_dev = jnp.asarray(g, device=device)
+    if packed:
+        pad_byte = np.uint8(0x55) if pad_val == -1 else np.uint8(0x00)
+        raw = _pad_to(genotypes.raw, m_pad, pad_byte)
+        g_dev = preprocess.unpack_bed(jnp.asarray(raw, device=device),
+                                      n_samples=n, n_pad=n_pad,
+                                      pad_val=int(pad_val))
+    else:
+        g = _pad_to(genotypes.astype(np.int8), m_pad, pad_val)
+        if n_pad != n:
+            g = np.concatenate(
+                [g, np.full((m_pad, n_pad - n), pad_val, dtype=np.int8)],
+                axis=1)
+        g_dev = jnp.asarray(g, device=device)
     if use_int8:
         from . import ld_int8  # noqa: PLC0415
         pre = ld_int8.preprocess_int8(
@@ -373,9 +404,8 @@ def estimate_lds(
                     ds.bed, positions, config, chunk_rows=chunk_rows,
                     resume_path=resume_path, annot=annot_mat)
             else:
-                genotypes = ds.bed.read_all()
                 result = compute_ld_scores_annot(
-                    genotypes, positions, annot_mat, config)
+                    ds.bed.read_raw(), positions, annot_mat, config)
             dt = time.time() - t0
             log.info("Estimation completed: %d SNPs in %.2fs (%.0f SNPs/s)",
                      ds.n_snp, dt, ds.n_snp / max(dt, 1e-9))
@@ -403,16 +433,19 @@ def estimate_lds(
         else:
             avail = len(jax.devices())
             n_dev = avail if n_devices is None else n_devices
-            log.info("Decoding genotypes...")
-            genotypes = ds.bed.read_all()
             if n_dev > 1 and avail > 1:
                 from ..parallel import ld_scores_sharded, snp_mesh  # noqa: PLC0415
 
+                log.info("Decoding genotypes...")
+                genotypes = ds.bed.read_all()
                 log.info("Running the TPU LD estimator (%d-device SNP mesh)...",
                          n_dev)
                 result = ld_scores_sharded(genotypes, positions, config,
                                            snp_mesh(n_dev))
             else:
+                # device-decode ingestion: ship the packed 2-bit rows (4x
+                # less transfer) and unpack on the accelerator
+                genotypes = ds.bed.read_raw()
                 log.info("Running the TPU LD estimator...")
                 # percent/ETA ticks by default for big runs (segmented
                 # dispatch costs ~1 RTT per tick — negligible at this size)

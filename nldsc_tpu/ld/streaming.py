@@ -402,18 +402,31 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
         if done:
             log.info("Resuming: %d chunks already complete", len(done))
 
+    # packed (2-bit) band ingestion: ship raw .bed bytes and unpack on
+    # device — 4× less host→device transfer than int8 codes, and the
+    # band transfer is the streaming engine's main non-compute cost
+    use_packed = hasattr(bed, "read_raw")
+
     def read_band(ci):
-        """Host-side decode of chunk ci's window band (prefetch thread)."""
+        """Host-side read of chunk ci's window band (prefetch thread)."""
         p0 = ci * chunk_rows
         band_lo = p0 - lead              # may be negative (masked)
         band_hi = band_lo + band_rows
-        g_band = np.full((band_rows, n_pad), -1, dtype=np.int8)
         r0, r1 = max(band_lo, 0), min(band_hi, m)
         chunk_has_missing = False
-        if r1 > r0:
-            block = bed.read_block(r0, r1 - r0)
-            chunk_has_missing = bool((block < 0).any())
-            g_band[r0 - band_lo:r1 - band_lo, :n] = block
+        if use_packed:
+            g_band = np.full((band_rows, bed.bytes_per_snp), 0x55,
+                             dtype=np.uint8)
+            if r1 > r0:
+                packed = bed.read_raw(r0, r1 - r0)
+                chunk_has_missing = packed.has_missing
+                g_band[r0 - band_lo:r1 - band_lo] = packed.raw
+        else:
+            g_band = np.full((band_rows, n_pad), -1, dtype=np.int8)
+            if r1 > r0:
+                block = bed.read_block(r0, r1 - r0)
+                chunk_has_missing = bool((block < 0).any())
+                g_band[r0 - band_lo:r1 - band_lo, :n] = block
         pos_ok_band = np.zeros(band_rows, dtype=bool)
         g0c, g1c = max(band_lo, 0), min(band_hi, m_ext)
         if g1c > g0c:
@@ -439,6 +452,13 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
             a = jnp.asarray(x)
             return jax.device_put(a, dev) if dev is not None else a
 
+        def band_dev():
+            gb = dev_put(g_band)
+            if use_packed:
+                from .preprocess import unpack_bed  # noqa: PLC0415
+                return unpack_bed(gb, n_samples=n, n_pad=n_pad, pad_val=-1)
+            return gb
+
         annot_b = None
         if annot_pad is not None:
             ab = np.zeros((band_rows, annot_pad.shape[1]), np.float32)
@@ -451,7 +471,7 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
             from . import ld_int8  # noqa: PLC0415
 
             pre = ld_int8.preprocess_int8(
-                dev_put(g_band), dev_put(pos_ok_band),
+                band_dev(), dev_put(pos_ok_band),
                 jnp.float32(config.maf_thr), n_samples=n)
             dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
             accs = _banded_chunk_int8_sym(
@@ -471,7 +491,7 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
             from . import ld_int8  # noqa: PLC0415
 
             pre = ld_int8.preprocess_int8(
-                dev_put(g_band), dev_put(pos_ok_band),
+                band_dev(), dev_put(pos_ok_band),
                 jnp.float32(config.maf_thr), n_samples=n)
             dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
             accs = _banded_chunk_int8(
@@ -481,7 +501,7 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                 dot_dtype=config.int8_dot_dtype)
         else:
             pre = preprocess_block(
-                dev_put(g_band), dev_put(pos_ok_band),
+                band_dev(), dev_put(pos_ok_band),
                 jnp.float32(config.maf_thr), n_samples=n)
             dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
             accs = _banded_chunk(

@@ -121,3 +121,41 @@ def test_cli_requires_one_window(toy_bfile):
     assert res.exit_code != 0
     res = runner.invoke(main, ["ld", "--bfile", prefix, "-kb", "5", "-cm", "1"])
     assert res.exit_code != 0
+
+
+def test_cli_engine_flags(tmp_path, rng):
+    # lock the new engine-selection surface: every flag combination
+    # produces oracle-parity output through the CLI
+    import pandas as pd
+    from click.testing import CliRunner
+
+    from nldsc_tpu.cli import main
+    from nldsc_tpu.io.plink import write_plink
+    from utils import make_positions, random_genotypes
+
+    m, n = 150, 120
+    g = random_genotypes(rng, m, n, missing_rate=0.03)
+    pos = make_positions(m, spacing=700, jitter_rng=rng)
+    prefix = write_plink(tmp_path / "flags", g, bp=pos.astype(np.int64))
+
+    outs = {}
+    for name, flags in {
+        "default": [],
+        "f32": ["--engine", "f32"],
+        "nosym": ["--no-symmetric"],
+        "bf16": ["--dot-dtype", "bf16"],
+        "f32-nosym": ["--engine", "f32", "--no-symmetric"],
+    }.items():
+        out = str(tmp_path / f"{name}.L2")
+        res = CliRunner().invoke(main, [
+            "ld", "--bfile", prefix, "-kb", "40", "-maf", "0.01",
+            "--block-size", "32", "-o", out, *flags])
+        assert res.exit_code == 0, res.output
+        outs[name] = pd.read_csv(out, sep="\t")
+
+    base = outs.pop("default")
+    for name, df in outs.items():
+        for col in ("L2", "L2D"):
+            np.testing.assert_allclose(
+                df[col], base[col], rtol=1e-4, atol=1e-4,
+                equal_nan=True, err_msg=f"{name}:{col}")

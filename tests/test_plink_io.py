@@ -56,3 +56,59 @@ def test_single_chromosome_enforced(tmp_path, rng):
     bim.to_csv(prefix + ".bim", sep="\t", header=False, index=False)
     with pytest.raises(NLDSCParameterError):
         PlinkDataset.parse(prefix)
+
+
+def test_unpack_bed_device_matches_host_decode(tmp_path, rng):
+    # device-side 2-bit unpack == the host LUT decode, incl. missing,
+    # odd N (pad bitpairs in the last byte), and lane/row padding
+    import jax.numpy as jnp
+
+    from nldsc_tpu.io.plink import BedReader, write_plink
+    from nldsc_tpu.ld.preprocess import unpack_bed
+    from utils import random_genotypes
+
+    m, n = 37, 133                      # n % 4 = 1: 3 pad bitpairs
+    g = random_genotypes(rng, m, n, missing_rate=0.07)
+    prefix = write_plink(tmp_path / "pk", g)
+    bed = BedReader(prefix + ".bed", m, n)
+    packed = bed.read_raw()
+    assert packed.has_missing
+    n_pad = 256
+    out = np.asarray(unpack_bed(jnp.asarray(packed.raw), n_samples=n,
+                                n_pad=n_pad, pad_val=-1))
+    np.testing.assert_array_equal(out[:, :n], g)
+    assert (out[:, n:] == -1).all()
+
+    # no-missing variant pads with zeros
+    g2 = random_genotypes(rng, m, n, missing_rate=0.0)
+    prefix2 = write_plink(tmp_path / "pk2", g2)
+    packed2 = BedReader(prefix2 + ".bed", m, n).read_raw()
+    assert not packed2.has_missing
+    out2 = np.asarray(unpack_bed(jnp.asarray(packed2.raw), n_samples=n,
+                                 n_pad=n_pad, pad_val=0))
+    np.testing.assert_array_equal(out2[:, :n], g2)
+    assert (out2[:, n:] == 0).all()
+
+
+def test_packed_pipeline_matches_array_pipeline(tmp_path, rng):
+    from nldsc_tpu.config import LDConfig
+    from nldsc_tpu.io.plink import BedReader, write_plink
+    from nldsc_tpu.ld.pipeline import compute_ld_scores
+    from utils import make_positions, random_genotypes
+
+    for miss in (0.0, 0.04):
+        m, n = 180, 150
+        g = random_genotypes(rng, m, n, missing_rate=miss)
+        pos = make_positions(m, spacing=800, jitter_rng=rng)
+        prefix = write_plink(tmp_path / f"pp{miss}", g,
+                             bp=pos.astype(np.int64))
+        packed = BedReader(prefix + ".bed", m, n).read_raw()
+        cfg = LDConfig(ld_wind=6000, wind_metric="bp", maf_thr=0.01,
+                       std_thr=1e-4, rsq_thr=1e-3, block_size=32)
+        res_a = compute_ld_scores(g, pos, cfg)
+        res_p = compute_ld_scores(packed, pos, cfg)
+        for k in ("l2", "l2d", "maf", "residuals_std"):
+            np.testing.assert_allclose(res_p[k], res_a[k], rtol=1e-7,
+                                       atol=1e-7, equal_nan=True, err_msg=k)
+        for k in ("l2_ws", "l2d_ws", "l2d_wse"):
+            np.testing.assert_array_equal(res_p[k], res_a[k], err_msg=k)
