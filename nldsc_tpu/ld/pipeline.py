@@ -436,12 +436,10 @@ def estimate_lds(
             if n_dev > 1 and avail > 1:
                 from ..parallel import ld_scores_sharded, snp_mesh  # noqa: PLC0415
 
-                log.info("Decoding genotypes...")
-                genotypes = ds.bed.read_all()
                 log.info("Running the TPU LD estimator (%d-device SNP mesh)...",
                          n_dev)
-                result = ld_scores_sharded(genotypes, positions, config,
-                                           snp_mesh(n_dev))
+                result = ld_scores_sharded(ds.bed.read_raw(), positions,
+                                           config, snp_mesh(n_dev))
             else:
                 # device-decode ingestion: ship the packed 2-bit rows (4x
                 # less transfer) and unpack on the accelerator

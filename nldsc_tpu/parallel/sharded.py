@@ -28,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ld.ld_xla import _tile_epilogue, finalize_outputs
 from ..ld.preprocess import preprocess_block
@@ -492,24 +492,44 @@ def ld_scores_sharded_global(g_global, positions: np.ndarray, config, mesh,
     }
 
 
-def ld_scores_sharded(genotypes: np.ndarray, positions: np.ndarray, config,
+def ld_scores_sharded(genotypes, positions: np.ndarray, config,
                       mesh) -> dict:
     """Sharded in-core LD scores over a 1-D device mesh.
 
     Same host contract as ``pipeline.compute_ld_scores`` but the genotype
     matrix is scattered row-wise over ``mesh`` and everything downstream —
     preprocessing, halo exchange, banded matmuls — runs under shard_map.
+
+    ``genotypes`` may be an int8 (M, N) array or a
+    :class:`nldsc_tpu.io.plink.PackedBed`: packed rows are scattered over
+    the mesh and unpacked on device (4× less host→device transfer).
     """
+    from ..io.plink import PackedBed  # noqa: PLC0415
+
+    packed = isinstance(genotypes, PackedBed)
     m, n = genotypes.shape
     m_pad, n_pad, meta, kwargs = sharded_geometry(m, n, positions, config,
                                                   mesh)
 
-    g = np.full((m_pad, n_pad), -1, dtype=np.int8)
-    g[:m, :n] = genotypes
-    has_missing = bool((genotypes < 0).any())
+    if packed:
+        from ..ld.preprocess import unpack_bed  # noqa: PLC0415
+
+        raw = np.full((m_pad, genotypes.raw.shape[1]), 0x55, dtype=np.uint8)
+        raw[:m] = genotypes.raw
+        has_missing = genotypes.has_missing
+        sharding = NamedSharding(mesh, P(SNP_AXIS))
+        raw_dev = jax.device_put(raw, sharding)
+        with mesh:
+            g_dev = unpack_bed(raw_dev, n_samples=n, n_pad=n_pad,
+                               pad_val=-1)
+    else:
+        g = np.full((m_pad, n_pad), -1, dtype=np.int8)
+        g[:m, :n] = genotypes
+        has_missing = bool((genotypes < 0).any())
+        g_dev = jnp.asarray(g)
 
     with mesh:
-        outs = _sharded_call(jnp.asarray(g), *meta,
+        outs = _sharded_call(g_dev, *meta,
                              has_missing=has_missing, **kwargs)
 
     l2, l2d, ws, wsd, wse, maf, rstd = outs

@@ -148,3 +148,24 @@ def test_grid_sharded_no_missing_exact(rng):
     ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr,
                     cfg.rsq_thr)
     assert_ld_parity(res, ora, rtol=3e-6, atol=3e-6)
+
+
+def test_sharded_packed_matches_dense(tmp_path, rng):
+    # packed (2-bit) rows scattered over the mesh + device unpack == dense
+    from nldsc_tpu.io.plink import BedReader, write_plink
+
+    m, n = 256, 140
+    g = random_genotypes(rng, m, n, missing_rate=0.03)
+    pos = make_positions(m, spacing=700, jitter_rng=rng)
+    prefix = write_plink(tmp_path / "shp", g, bp=pos.astype(np.int64))
+    packed = BedReader(prefix + ".bed", m, n).read_raw()
+
+    cfg = LDConfig(ld_wind=6000, wind_metric="bp", maf_thr=0.01,
+                   std_thr=1e-4, rsq_thr=1e-3, block_size=16)
+    dense = compute_ld_scores(g, pos.astype(np.float64), cfg)
+    res = ld_scores_sharded(packed, pos.astype(np.float64), cfg, snp_mesh(8))
+    for k in ("l2", "l2d", "maf", "residuals_std"):
+        np.testing.assert_allclose(res[k], dense[k], rtol=1e-6, atol=1e-6,
+                                   equal_nan=True, err_msg=k)
+    for k in ("l2_ws", "l2d_ws", "l2d_wse"):
+        np.testing.assert_array_equal(res[k], dense[k], err_msg=k)
