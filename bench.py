@@ -35,7 +35,7 @@ import numpy as np
 M, N, WIN_SNPS = 16384, 16384, 1000
 SEGMENTS = 8                   # one-dispatch batch: 8 x M rows
 SPACING = 100.0
-BLOCK = 256
+BLOCK = 512   # scripts/time_block.py: highest per-step MXU efficiency
 MAF_THR, STD_THR, RSQ_THR = 0.01, 1e-4, 1e-3
 
 CPU_M = 2048  # CPU baseline runs a subset, rate extrapolates per-SNP

@@ -14,7 +14,7 @@ Validation bounds mirror the reference value-classes
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 from .core.errors import NLDSCParameterError
 

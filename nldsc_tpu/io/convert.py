@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 
 from ..core.logging import log
-from .ldscores import read_l2_file, read_m
+from .ldscores import read_m
 
 LDSC_COLS = ["CHR", "SNP", "BP", "L2"]
 

@@ -520,6 +520,10 @@ def ld_scores_int8_sym(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
     full-band engine's 2 / 6 — a 4/3 (resp. 3/2) flop reduction.
     Intra-block pairs are fully covered by row-direction sums (both orders
     appear inside the tile); column-direction sums skip the intra tile.
+
+    ``band_k`` and ``blk_lo``/``blk_hi`` are accepted (and ignored) for
+    call-site symmetry with :func:`ld_scores_int8` — the right band's
+    geometry is fully determined by ``right_k``.
     """
     accs = sym_scan_segment(
         g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero, rsq_thr,

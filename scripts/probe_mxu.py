@@ -92,3 +92,38 @@ def probe_nt(name, dtype, pref):
 
 probe_nt("int8 NT (x @ y.T)", jnp.int8, jnp.int32)
 probe_nt("bf16 NT (x @ y.T)", jnp.bfloat16, jnp.float32)
+
+
+def probe_int4():
+    """int4×int4→int32: if native on this MXU, it doubles the int8 rate
+    (genotype codes fit in 4 bits)."""
+    def cast4(v):
+        return (v % 3).astype(jnp.int4)
+
+    @jax.jit
+    def chain(x0, y):
+        x = x0
+        acc = None
+        for _ in range(Q):
+            acc = lax.dot_general(x, y, dims,
+                                  preferred_element_type=jnp.int32)
+            x = cast4(acc)
+        return acc[0, 0]
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(13), 3)
+    gen4 = lambda k: cast4(jax.random.randint(k, (S, S), 0, 3, jnp.int32))  # noqa: E731
+    x_w, x_t, y = gen4(k1), gen4(k2), gen4(k3)
+    np.asarray(chain(x_w, y))
+    t0 = time.time()
+    np.asarray(chain(x_t, y))
+    dt = (time.time() - t0) / Q
+    print(f"{'int4 x int4 -> int32':28s}: {dt*1e3:7.2f} ms/matmul  "
+          f"{2.0*S**3/dt/1e12:7.1f} Tops/s", flush=True)
+
+
+if "--int4" in sys.argv:
+    try:
+        probe_int4()
+    except Exception as e:  # int4 matmul is NOT supported on v5e
+        print(f"int4 x int4 -> int32        : unsupported "
+              f"({type(e).__name__})", flush=True)

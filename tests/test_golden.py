@@ -64,3 +64,36 @@ def test_sharded_matches_golden(golden):
     res = ld_scores_sharded(golden["genotypes"], golden["positions"], cfg,
                             snp_mesh(4))
     check(res, golden)
+
+
+GOLDEN_ANNOT = os.path.join(os.path.dirname(__file__), "data",
+                            "golden_annot_toy.npz")
+ANNOT_WIND, ANNOT_STD = 12000.0, 1e-4
+
+
+@pytest.mark.parametrize("engine", ["int8", "f32", "streaming"])
+def test_annot_engines_match_golden(engine, tmp_path):
+    """Frozen partitioned-LD outputs across every annot-capable route."""
+    from nldsc_tpu.ld.pipeline import compute_ld_scores_annot
+
+    gold = dict(np.load(GOLDEN_ANNOT))
+    g, pos, annot = gold["genotypes"], gold["positions"], gold["annot"]
+    cfg = LDConfig(ld_wind=ANNOT_WIND, wind_metric="bp", maf_thr=MAF,
+                   std_thr=ANNOT_STD, rsq_thr=RSQ, block_size=32,
+                   use_int8=engine != "f32")
+    if engine == "streaming":
+        from nldsc_tpu.io.plink import BedReader, write_plink
+        from nldsc_tpu.ld.streaming import compute_ld_scores_streaming
+
+        prefix = write_plink(tmp_path / "ga", g, bp=pos.astype(np.int64))
+        # write_plink stores positions; skip-sentinel rows (-1) are not
+        # representable in a .bim, so pass the oracle positions directly
+        bed = BedReader(prefix + ".bed", *g.shape)
+        res = compute_ld_scores_streaming(bed, pos, cfg, chunk_rows=64,
+                                          annot=annot)
+    else:
+        res = compute_ld_scores_annot(g, pos, annot, cfg)
+    np.testing.assert_allclose(res["l2_annot"], gold["l2_annot"],
+                               rtol=2e-5, atol=2e-4, equal_nan=True)
+    np.testing.assert_allclose(res["l2d_annot"], gold["l2d_annot"],
+                               rtol=2e-5, atol=2e-4, equal_nan=True)
