@@ -90,6 +90,11 @@ def main(log_file):
 @click.option("--n-devices", metavar="N", type=int, default=None,
               help="Shard the SNP axis over N devices (default: all local "
                    "devices when more than one is visible)")
+@click.option("--shard-axis", type=click.Choice(["snp", "samples"]),
+              default="snp",
+              help="Multi-device axis: 'snp' (halo-exchange SNP blocks, "
+                   "default) or 'samples' (per-tile psum'd sample shards — "
+                   "for huge N; composes with --streaming)")
 @click.option("--profile-dir", metavar="DIR", default=None,
               help="Capture a jax.profiler trace of the compute pass into "
                    "this directory")

@@ -263,12 +263,18 @@ def corr_from_dots(dots: dict, sc_i: dict, sc_j: dict, n, n_padf,
 
 
 def corr_tiles(idot, g_i, m_i, h_i, g_j, m_j, h_j, sc_i, sc_j, n, n_padf,
-               has_missing: bool, symmetric: bool = False):
+               has_missing: bool, symmetric: bool = False,
+               psum_axis: str | None = None):
     """Integer matmuls + :func:`corr_from_dots` epilogue in one call.
 
     ``h_i`` may be None when not symmetric.  Row operands are the pivot
     rows, column operands the neighbor band; shapes: g_i (B, Np),
     g_j/m_j/h_j (W, Np); scalars broadcast (B,1)/(1,W).
+
+    ``psum_axis``: when the SAMPLE axis is sharded over a mesh axis of
+    that name, each shard's matmuls are partial sums over its samples;
+    one exact ``psum`` of the stacked integer S-tiles makes the epilogue
+    inputs global (the per-SNP scalars must already be global).
     """
     dots = {"sgg": idot(g_i, g_j), "sgh": idot(g_i, h_j)}
     if symmetric:
@@ -280,6 +286,10 @@ def corr_tiles(idot, g_i, m_i, h_i, g_j, m_j, h_j, sc_i, sc_j, n, n_padf,
         dots["smh"] = idot(m_i, h_j)
         if symmetric:
             dots["shm"] = idot(h_i, m_j)
+    if psum_axis is not None:
+        names = list(dots)
+        merged = lax.psum(jnp.stack([dots[k] for k in names]), psum_axis)
+        dots = dict(zip(names, merged))
     return corr_from_dots(dots, sc_i, sc_j, n, n_padf, has_missing, symmetric)
 
 

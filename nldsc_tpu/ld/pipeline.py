@@ -347,6 +347,7 @@ def estimate_lds(
     chunk_rows: int = 8192,
     resume_path: str | None = None,
     n_devices: int | None = None,
+    shard_samples: bool = False,
     profile_dir: str | None = None,
     annot: str | None = None,
     use_int8: bool | None = None,
@@ -366,8 +367,11 @@ def estimate_lds(
     chunk-granular checkpoint/resume (streaming engine only).
 
     ``n_devices=None`` auto-shards the SNP axis over all local devices when
-    more than one is visible (in-core engine); ``profile_dir`` captures a
-    ``jax.profiler`` trace of the compute pass.
+    more than one is visible (in-core engine); ``shard_samples=True``
+    shards the SAMPLE axis instead (per-tile psum of the integer
+    S-matrices — the right axis when N, not M, dominates; composes with
+    ``streaming`` for the full 2-D M-streamed × N-scattered scale-out);
+    ``profile_dir`` captures a ``jax.profiler`` trace of the compute pass.
     """
     ds = PlinkDataset.parse(bfile)
     config = LDConfig(
@@ -423,17 +427,35 @@ def estimate_lds(
 
             avail_dev = jax.devices()
             n_dev = len(avail_dev) if n_devices is None else n_devices
-            devs = avail_dev[:n_dev] if n_dev > 1 else None
-            log.info("Running the TPU LD estimator (streaming, chunk=%d rows"
-                     "%s)...", chunk_rows,
-                     f", {len(devs)} devices" if devs else "")
-            result = compute_ld_scores_streaming(
-                ds.bed, positions, config, chunk_rows=chunk_rows,
-                resume_path=resume_path, devices=devs)
+            if shard_samples and n_dev > 1:
+                from ..parallel import snp_mesh  # noqa: PLC0415
+
+                log.info("Running the TPU LD estimator (streaming, chunk=%d "
+                         "rows, %d-device SAMPLE mesh)...", chunk_rows, n_dev)
+                result = compute_ld_scores_streaming(
+                    ds.bed, positions, config, chunk_rows=chunk_rows,
+                    resume_path=resume_path, sample_mesh=snp_mesh(n_dev))
+            else:
+                devs = avail_dev[:n_dev] if n_dev > 1 else None
+                log.info("Running the TPU LD estimator (streaming, chunk=%d "
+                         "rows%s)...", chunk_rows,
+                         f", {len(devs)} devices" if devs else "")
+                result = compute_ld_scores_streaming(
+                    ds.bed, positions, config, chunk_rows=chunk_rows,
+                    resume_path=resume_path, devices=devs)
         else:
             avail = len(jax.devices())
             n_dev = avail if n_devices is None else n_devices
-            if n_dev > 1 and avail > 1:
+            if n_dev > 1 and avail > 1 and shard_samples:
+                from ..parallel import (  # noqa: PLC0415
+                    ld_scores_sample_sharded, snp_mesh)
+
+                log.info("Running the TPU LD estimator (%d-device SAMPLE "
+                         "mesh)...", n_dev)
+                result = ld_scores_sample_sharded(ds.bed.read_raw(),
+                                                  positions, config,
+                                                  snp_mesh(n_dev))
+            elif n_dev > 1 and avail > 1:
                 from ..parallel import ld_scores_sharded, snp_mesh  # noqa: PLC0415
 
                 log.info("Running the TPU LD estimator (%d-device SNP mesh)...",

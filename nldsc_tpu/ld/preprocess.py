@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 @partial(jax.jit, static_argnames=("n_samples", "n_pad", "pad_val"))
 def unpack_bed(raw: jax.Array, n_samples: int, n_pad: int,
-               pad_val: int) -> jax.Array:
+               pad_val: int, col0=0) -> jax.Array:
     """Device-side 2-bit PLINK .bed unpack: (M, bytes_per_snp) uint8 →
     (M, n_pad) int8 genotype codes.
 
@@ -30,10 +30,14 @@ def unpack_bed(raw: jax.Array, n_samples: int, n_pad: int,
     host→device bandwidth than int8 codes (the usual end-to-end
     bottleneck), and the unpack is a trivial VPU shift/mask
     (2-bit code → additive code via ``{0:0, 1:missing, 2:1, 3:2}``,
-    matching :data:`nldsc_tpu.io.plink._CODE_MAP`).  Columns ≥
-    ``n_samples`` (the last byte's pad bitpairs and the lane padding to
-    ``n_pad``) are forced to ``pad_val`` (0 for the no-missing fast
-    path, −1 otherwise).
+    matching :data:`nldsc_tpu.io.plink._CODE_MAP`).  Columns whose GLOBAL
+    sample index ≥ ``n_samples`` (the last byte's pad bitpairs and the
+    lane padding to ``n_pad``) are forced to ``pad_val`` (0 for the
+    no-missing fast path, −1 otherwise).
+
+    ``col0`` (traced ok): global sample index of local column 0 — nonzero
+    when ``raw`` is one sample-axis shard of a wider matrix (each shard
+    unpacks its own byte range; see the sample-sharded engines).
     """
     m, bps = raw.shape
     rep = jnp.repeat(raw, 4, axis=1)                       # (M, 4·bps)
@@ -45,7 +49,7 @@ def unpack_bed(raw: jax.Array, n_samples: int, n_pad: int,
     else:
         g = jnp.pad(g, ((0, 0), (0, n_pad - 4 * bps)),
                     constant_values=pad_val)
-    col = jnp.arange(n_pad, dtype=jnp.int32)[None, :]
+    col = col0 + jnp.arange(n_pad, dtype=jnp.int32)[None, :]
     return jnp.where(col < n_samples, g, jnp.int8(pad_val))
 
 

@@ -101,11 +101,13 @@ def _banded_chunk_int8(pre, dom_ok_b, lo_piv, hi_piv, blk_lo_piv, band_g0,
 
 @partial(jax.jit, static_argnames=("block_size", "right_k", "n_samples",
                                    "n_piv_blocks", "has_missing",
-                                   "dot_dtype"))
+                                   "dot_dtype", "psum_axis", "n_pad_total"))
 def _banded_chunk_int8_sym(pre, dom_ok_b, lo_piv, hi_piv, band_g0, m_pad,
                            rsq_thr, *, block_size: int, right_k: int,
                            n_samples: int, n_piv_blocks: int,
-                           has_missing: bool, dot_dtype: str):
+                           has_missing: bool, dot_dtype: str,
+                           psum_axis: str | None = None,
+                           n_pad_total: int | None = None):
     """Symmetric integer chunk pass (right half-band only).
 
     The band holds ``[p0, p1 + halo)`` — pivots at local offset 0, right
@@ -114,6 +116,12 @@ def _banded_chunk_int8_sym(pre, dom_ok_b, lo_piv, hi_piv, band_g0, m_pad,
     pivot rows, (6, halo) column credits for rows of LATER chunks).
     Quantity order: l2, ws, poison, l2d, wsd, wse (counters as f32 —
     exact below 2^24).
+
+    ``psum_axis``/``n_pad_total``: set when the SAMPLE axis is sharded
+    over a mesh axis (``pre`` holds this shard's columns, its per-SNP
+    scalars already psum'd-global); each tile's integer S-matrices are
+    then psum'd before the epilogue, so every shard computes identical
+    global outputs — the out-of-core × sample-sharded composition.
     """
     from .ld_int8 import (corr_tiles, make_idot,  # noqa: PLC0415
                           scal_views, stack_scalars)
@@ -124,7 +132,8 @@ def _banded_chunk_int8_sym(pre, dom_ok_b, lo_piv, hi_piv, band_g0, m_pad,
     halo = ext_rows - chunk_rows
     right_rows = min(right_k * B, ext_rows)
     n = jnp.float32(n_samples)
-    n_pad_cols = pre["g"].shape[1]
+    n_pad_cols = (n_pad_total if n_pad_total is not None
+                  else pre["g"].shape[1])
     n_padf = jnp.float32(n_pad_cols)
     adj_c = (n - 1.0) / (n - 2.0)
     idot = make_idot(dot_dtype)
@@ -165,7 +174,7 @@ def _banded_chunk_int8_sym(pre, dom_ok_b, lo_piv, hi_piv, band_g0, m_pad,
 
         r_add, r_domA, r_domB = corr_tiles(
             idot, g_i, m_i, h_i, g_j, m_j, h_j, sc_i, sc_j, n, n_padf,
-            has_missing, symmetric=True)
+            has_missing, symmetric=True, psum_axis=psum_axis)
 
         adj_add = 1.0 - (1.0 - r_add * r_add) * adj_c
         adj_dA = 1.0 - (1.0 - r_domA * r_domA) * adj_c
@@ -264,7 +273,8 @@ def _banded_chunk(add_b, res_b, usable_b, dom_ok_b, poison_b,
 def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                                 chunk_rows: int = 8192,
                                 resume_path: str | None = None,
-                                devices=None, annot=None) -> dict:
+                                devices=None, annot=None,
+                                sample_mesh=None) -> dict:
     """Streamed LD scores from a :class:`BedReader` (out-of-core in M).
 
     Same result contract as ``pipeline.compute_ld_scores``.  ``chunk_rows``
@@ -282,12 +292,20 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     inter-device halo traffic is needed: the combination of the sharded
     and streaming engines).  Dispatch is async; results are collected one
     full rotation behind, so up to ``len(devices)`` chunks are in flight.
+
+    ``sample_mesh``: optional 1-D mesh — shard the SAMPLE axis of every
+    chunk band over it instead (the 2-D composition: M streamed from
+    disk, N scattered over devices, tile S-matrices psum'd).  The right
+    scale-out when one chromosome's band row (N samples) dominates device
+    memory or compute — each device holds/contracts only N/d samples.
+    Mutually exclusive with ``devices``; integer symmetric engine only.
     """
     m, n = bed.n_snp, bed.n_samples
     B = config.block_size
     chunk_rows = max(B, (chunk_rows // B) * B)
     m_pad = -(-m // B) * B
-    n_pad = -(-n // 128) * 128
+    d_samp = sample_mesh.devices.size if sample_mesh is not None else 1
+    n_pad = -(-n // (128 * d_samp)) * (128 * d_samp)
 
     lo, hi, pos_ok = windows.window_bounds(positions, config.ld_wind)
     blk_lo_all, blk_hi_all, band_k = windows.band_blocks(lo, hi, B, m_pad // B)
@@ -302,6 +320,14 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     # in the shard files as `tail`)
     symmetric = ((config.symmetric if config.symmetric is not None else True)
                  and use_int8 and annot is None)
+    if sample_mesh is not None:
+        if devices:
+            raise ValueError("sample_mesh and devices are mutually "
+                             "exclusive — the mesh already uses its devices")
+        if not symmetric:
+            raise ValueError("sample-sharded streaming requires the "
+                             "symmetric integer engine (use_int8, no annot, "
+                             "symmetric not disabled)")
 
     # fixed shapes across chunks -> one trace: pivot span always chunk_rows;
     # edges handled by masking
@@ -406,6 +432,12 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     # device — 4× less host→device transfer than int8 codes, and the
     # band transfer is the streaming engine's main non-compute cost
     use_packed = hasattr(bed, "read_raw")
+    # sample sharding needs the byte columns to split evenly into
+    # 128-sample (32-byte) lanes per shard; padding bytes are 0x55
+    # (missing bitpairs) and the device unpack masks them anyway
+    bps_pad = (-(-bed.bytes_per_snp // (32 * d_samp)) * (32 * d_samp)
+               if (use_packed and sample_mesh is not None)
+               else (bed.bytes_per_snp if use_packed else 0))
 
     def read_band(ci):
         """Host-side read of chunk ci's window band (prefetch thread)."""
@@ -415,12 +447,12 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
         r0, r1 = max(band_lo, 0), min(band_hi, m)
         chunk_has_missing = False
         if use_packed:
-            g_band = np.full((band_rows, bed.bytes_per_snp), 0x55,
-                             dtype=np.uint8)
+            g_band = np.full((band_rows, bps_pad), 0x55, dtype=np.uint8)
             if r1 > r0:
                 packed = bed.read_raw(r0, r1 - r0)
                 chunk_has_missing = packed.has_missing
-                g_band[r0 - band_lo:r1 - band_lo] = packed.raw
+                g_band[r0 - band_lo:r1 - band_lo,
+                       :bed.bytes_per_snp] = packed.raw
         else:
             g_band = np.full((band_rows, n_pad), -1, dtype=np.int8)
             if r1 > r0:
@@ -458,6 +490,32 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                 from .preprocess import unpack_bed  # noqa: PLC0415
                 return unpack_bed(gb, n_samples=n, n_pad=n_pad, pad_val=-1)
             return gb
+
+        if sample_mesh is not None:
+            from jax.sharding import NamedSharding  # noqa: PLC0415
+            from jax.sharding import PartitionSpec as P  # noqa: PLC0415
+
+            from ..parallel.sample_sharded import (  # noqa: PLC0415
+                sample_sharded_chunk_sym)
+
+            cols = NamedSharding(sample_mesh,
+                                 P(None, sample_mesh.axis_names[0]))
+            raw_dev = jax.device_put(g_band, cols)
+            local, tail, usable, add_sd_zero, maf, rstd = \
+                sample_sharded_chunk_sym(
+                    raw_dev, jnp.asarray(pos_ok_band),
+                    jnp.asarray(lo_pad[p0:p1]), jnp.asarray(hi_pad[p0:p1]),
+                    jnp.int32(p0), jnp.int32(m_pad),
+                    jnp.float32(config.rsq_thr), mesh=sample_mesh,
+                    packed=use_packed, maf_thr=float(config.maf_thr),
+                    std_thr=float(config.std_thr), n_samples=n,
+                    n_pad_total=n_pad, block_size=B, right_k=right_k,
+                    n_piv_blocks=n_piv_blocks,
+                    has_missing=chunk_has_missing,
+                    dot_dtype=config.int8_dot_dtype)
+            pre = {"usable": usable, "add_sd_zero": add_sd_zero,
+                   "maf": maf, "rstd": rstd}
+            return pre, (local, tail)
 
         annot_b = None
         if annot_pad is not None:

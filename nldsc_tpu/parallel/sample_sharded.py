@@ -33,16 +33,17 @@ from ..ld.ld_int8 import (corr_from_dots, finish_preprocess_int8, make_idot,
 from .mesh import SNP_AXIS
 
 
-def _sample_shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
-                     rsq_thr, n_samples, n_pad_total, block_size, band_k,
-                     m_pad, has_missing, dot_dtype):
-    """Per-shard body: g is (M_pad, N_pad/d) int8; everything else replicated."""
-    B = block_size
-    idot = make_idot(dot_dtype)
-    n = jnp.float32(n_samples)
-    n_padf = jnp.float32(n_pad_total)
+def shard_preprocess_int8(g, pos_ok, maf_thr, *, n_samples, n_pad_total,
+                          axis):
+    """Per-shard integer preprocessing with GLOBAL per-SNP statistics.
 
-    # ---- per-SNP class counts: shard-partial integer sums -> one psum ----
+    ``g``: this shard's (rows, N_local) int8 codes (negative = missing,
+    incl. sample padding).  The three class counts are shard-partial
+    integer sums combined with one exact ``psum`` over mesh axis ``axis``;
+    everything per-SNP that follows (:func:`finish_preprocess_int8`) is
+    replicated.  Returns the engine ``pre`` dict with shard-LOCAL
+    ``g``/``m``/``h`` matrices and global scalars.
+    """
     valid = g >= 0
     gq = jnp.where(valid, g, 0).astype(jnp.int8)
     mq = (~valid).astype(jnp.int8)
@@ -53,10 +54,35 @@ def _sample_shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
         jnp.sum(gq == 1, axis=1, dtype=jnp.float32),      # c1
         jnp.sum(gq == 2, axis=1, dtype=jnp.float32),      # c2
     ], axis=0)
-    n_valid_raw, c1, c2 = lax.psum(partial, SNP_AXIS)
+    n_valid_raw, c1, c2 = lax.psum(partial, axis)
 
-    pre = finish_preprocess_int8(n_valid_raw, c1, c2, n_padf - n_valid_raw,
+    pre = finish_preprocess_int8(n_valid_raw, c1, c2,
+                                 jnp.float32(n_pad_total) - n_valid_raw,
                                  pos_ok, maf_thr, n_samples, n_pad_total)
+    pre.update({"g": gq, "m": mq, "h": hq})
+    return pre
+
+
+def _sample_shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
+                     rsq_thr, n_samples, n_pad_total, block_size, band_k,
+                     m_pad, has_missing, dot_dtype, packed=False):
+    """Per-shard body: g is (M_pad, N_pad/d) int8 — or, with ``packed``,
+    (M_pad, bytes_per_snp/d) raw 2-bit .bed bytes unpacked on the shard
+    (4× less transfer); everything else replicated."""
+    B = block_size
+    idot = make_idot(dot_dtype)
+    n = jnp.float32(n_samples)
+    n_padf = jnp.float32(n_pad_total)
+
+    if packed:
+        from ..ld.preprocess import unpack_bed  # noqa: PLC0415
+        bps_local = g.shape[1]
+        col0 = lax.axis_index(SNP_AXIS) * (4 * bps_local)
+        g = unpack_bed(g, n_samples=n_samples, n_pad=4 * bps_local,
+                       pad_val=-1, col0=col0)
+    pre = shard_preprocess_int8(g, pos_ok, maf_thr, n_samples=n_samples,
+                                n_pad_total=n_pad_total, axis=SNP_AXIS)
+    gq, mq, hq = pre["g"], pre["m"], pre["h"]
     usable = pre["usable"]
     add_sd_zero = pre["add_sd_zero"]
     dom_ok = usable & (pre["rstd"] > jnp.float32(std_thr)) & ~add_sd_zero
@@ -110,15 +136,16 @@ def _sample_shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
 @partial(jax.jit,
          static_argnames=("maf_thr", "std_thr", "rsq_thr", "n_samples",
                           "n_pad_total", "block_size", "band_k", "mesh",
-                          "has_missing", "dot_dtype"))
+                          "has_missing", "dot_dtype", "packed"))
 def _sample_sharded_call(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr,
                          std_thr, rsq_thr, n_samples, n_pad_total,
-                         block_size, band_k, mesh, has_missing, dot_dtype):
+                         block_size, band_k, mesh, has_missing, dot_dtype,
+                         packed=False):
     fn = partial(_sample_shard_fn, maf_thr=maf_thr, std_thr=std_thr,
                  rsq_thr=jnp.float32(rsq_thr), n_samples=n_samples,
                  n_pad_total=n_pad_total, block_size=block_size,
                  band_k=band_k, m_pad=g.shape[0], has_missing=has_missing,
-                 dot_dtype=dot_dtype)
+                 dot_dtype=dot_dtype, packed=packed)
     out = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(None, SNP_AXIS), P(), P(), P(), P(), P()),
@@ -130,18 +157,88 @@ def _sample_sharded_call(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr,
     return fin + (maf, rstd)
 
 
-def ld_scores_sample_sharded(genotypes: np.ndarray, positions: np.ndarray,
+def _sample_chunk_shard_fn(raw_band, pos_ok_band, lo_piv, hi_piv, band_g0,
+                           m_pad, rsq_thr, *, packed, maf_thr, std_thr,
+                           n_samples, n_pad_total, block_size, right_k,
+                           n_piv_blocks, has_missing, dot_dtype, axis):
+    """Per-shard body of one streaming chunk with the SAMPLE axis sharded.
+
+    ``raw_band``: this shard's sample columns of the chunk band — packed
+    2-bit .bed bytes (band_rows, bytes_per_snp/d) unpacked on the shard,
+    or int8 codes (band_rows, N_pad/d).  Per-SNP stats and every tile's
+    S-matrices are psum'd, so outputs are replicated (deterministic).
+    """
+    from ..ld.preprocess import unpack_bed  # noqa: PLC0415
+    from ..ld.streaming import _banded_chunk_int8_sym  # noqa: PLC0415
+
+    if packed:
+        bps_local = raw_band.shape[1]
+        col0 = lax.axis_index(axis) * (4 * bps_local)
+        g = unpack_bed(raw_band, n_samples=n_samples, n_pad=4 * bps_local,
+                       pad_val=-1, col0=col0)
+    else:
+        g = raw_band          # host already padded cols ≥ n with −1
+    pre = shard_preprocess_int8(g, pos_ok_band, jnp.float32(maf_thr),
+                                n_samples=n_samples,
+                                n_pad_total=n_pad_total, axis=axis)
+    dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(std_thr))
+    local, tail = _banded_chunk_int8_sym(
+        pre, dom_ok, lo_piv, hi_piv, band_g0, m_pad, rsq_thr,
+        block_size=block_size, right_k=right_k, n_samples=n_samples,
+        n_piv_blocks=n_piv_blocks, has_missing=has_missing,
+        dot_dtype=dot_dtype, psum_axis=axis, n_pad_total=n_pad_total)
+    return (local, tail, pre["usable"], pre["add_sd_zero"], pre["maf"],
+            pre["rstd"])
+
+
+@partial(jax.jit,
+         static_argnames=("mesh", "packed", "maf_thr", "std_thr",
+                          "n_samples", "n_pad_total", "block_size",
+                          "right_k", "n_piv_blocks", "has_missing",
+                          "dot_dtype"))
+def sample_sharded_chunk_sym(raw_band, pos_ok_band, lo_piv, hi_piv, band_g0,
+                             m_pad, rsq_thr, *, mesh, packed, maf_thr,
+                             std_thr, n_samples, n_pad_total, block_size,
+                             right_k, n_piv_blocks, has_missing, dot_dtype):
+    """One symmetric streaming chunk with the SAMPLE axis over ``mesh``.
+
+    The out-of-core × sample-sharded composition (2-D scale: M streamed
+    from disk, N scattered over devices).  Same return contract as
+    :func:`nldsc_tpu.ld.streaming._banded_chunk_int8_sym` plus the
+    replicated per-SNP stats the streaming collector needs:
+    ``(local, tail, usable, add_sd_zero, maf, rstd)``.
+    """
+    axis = mesh.axis_names[0]
+    fn = partial(_sample_chunk_shard_fn, packed=packed, maf_thr=maf_thr,
+                 std_thr=std_thr, n_samples=n_samples,
+                 n_pad_total=n_pad_total, block_size=block_size,
+                 right_k=right_k, n_piv_blocks=n_piv_blocks,
+                 has_missing=has_missing, dot_dtype=dot_dtype, axis=axis)
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, axis), P(), P(), P(), P(), P(), P()),
+        out_specs=tuple([P()] * 6),
+    )(raw_band, pos_ok_band, lo_piv, hi_piv, band_g0, m_pad, rsq_thr)
+
+
+def ld_scores_sample_sharded(genotypes, positions: np.ndarray,
                              config, mesh) -> dict:
-    """In-core LD scores with the SAMPLE axis scattered over ``mesh``."""
+    """In-core LD scores with the SAMPLE axis scattered over ``mesh``.
+
+    ``genotypes``: int8 (M, N) codes — or a
+    :class:`nldsc_tpu.io.plink.PackedBed` of raw 2-bit rows, in which case
+    each shard receives only ITS byte columns and unpacks on device (4×
+    less host→device/ICI traffic — the packed-ingestion path).
+    """
+    from ..io.plink import PackedBed  # noqa: PLC0415
     from ..ld import windows  # noqa: PLC0415
     from ..ld.pipeline import to_host_result  # noqa: PLC0415
 
+    packed = isinstance(genotypes, PackedBed)
     m, n = genotypes.shape
     B = config.block_size
     d = mesh.devices.size
     m_pad = -(-m // B) * B
-    col_chunk = 128 * d
-    n_pad = -(-n // col_chunk) * col_chunk
 
     lo, hi, pos_ok = windows.window_bounds(positions, config.ld_wind)
     blk_lo, blk_hi, band_k = windows.band_blocks(lo, hi, B, m_pad // B)
@@ -149,9 +246,20 @@ def ld_scores_sample_sharded(genotypes: np.ndarray, positions: np.ndarray,
     hi_pad = np.concatenate([hi, np.full(m_pad - m, -1, np.int32)]).astype(np.int32)
     pos_ok_pad = np.concatenate([pos_ok, np.zeros(m_pad - m, bool)])
 
-    g = np.full((m_pad, n_pad), -1, dtype=np.int8)
-    g[:m, :n] = genotypes
-    has_missing = bool((genotypes < 0).any())
+    if packed:
+        # byte columns split into 32-byte (128-sample) lanes per shard;
+        # 0x55 padding = missing bitpairs, masked by the device unpack
+        bps_pad = -(-genotypes.bytes_per_snp // (32 * d)) * (32 * d)
+        n_pad = 4 * bps_pad
+        g = np.full((m_pad, bps_pad), 0x55, dtype=np.uint8)
+        g[:m, :genotypes.bytes_per_snp] = genotypes.raw
+        has_missing = genotypes.has_missing
+    else:
+        col_chunk = 128 * d
+        n_pad = -(-n // col_chunk) * col_chunk
+        g = np.full((m_pad, n_pad), -1, dtype=np.int8)
+        g[:m, :n] = genotypes
+        has_missing = bool((genotypes < 0).any())
 
     with mesh:
         outs = _sample_sharded_call(
@@ -160,7 +268,8 @@ def ld_scores_sample_sharded(genotypes: np.ndarray, positions: np.ndarray,
             maf_thr=float(config.maf_thr), std_thr=float(config.std_thr),
             rsq_thr=float(config.rsq_thr), n_samples=n, n_pad_total=n_pad,
             block_size=B, band_k=band_k, mesh=mesh,
-            has_missing=has_missing, dot_dtype=config.int8_dot_dtype)
+            has_missing=has_missing, dot_dtype=config.int8_dot_dtype,
+            packed=packed)
 
     l2, l2d, ws, wsd, wse, maf, rstd = outs
     return to_host_result(l2, l2d, ws, wsd, wse, maf, rstd, m)
