@@ -117,8 +117,8 @@ def main(log_file):
 @handle_exception
 def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
            extra, block_size, pallas, engine, symmetric, dot_dtype,
-           n_devices, profile_dir, streaming, chunk_rows, resume_path,
-           annot, progress):
+           n_devices, shard_axis, profile_dir, streaming, chunk_rows,
+           resume_path, annot, progress):
     if sum(map(bool, [ld_wind_kb, ld_wind_cm])) != 1:
         raise RuntimeError("Please, specify exactly one --ld-wind option")
     if ld_wind_kb:
@@ -137,7 +137,8 @@ def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
         out=out, extra=extra, summary=True,
         block_size=block_size, use_pallas=use_pallas, use_int8=use_int8,
         symmetric=symmetric, int8_dot_dtype=dot_dtype,
-        n_devices=n_devices, profile_dir=profile_dir,
+        n_devices=n_devices, shard_samples=(shard_axis == "samples"),
+        profile_dir=profile_dir,
         streaming=streaming, chunk_rows=chunk_rows, resume_path=resume_path,
         annot=annot, progress=progress,
     )

@@ -186,6 +186,10 @@ class PackedBed:
     def shape(self) -> tuple[int, int]:
         return (self.n_snp, self.n_samples)
 
+    @property
+    def bytes_per_snp(self) -> int:
+        return self.raw.shape[1]
+
 
 def read_bim(path: str | os.PathLike, single_chromosome: bool = True) -> pd.DataFrame:
     """Read a .bim file (reference: ``nldsc/ldscore/common.py:76-117``).

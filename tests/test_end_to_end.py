@@ -110,6 +110,65 @@ def test_cli_ld_and_h2(toy_bfile, tmp_path, rng):
     assert res.exit_code != 0
 
 
+def test_cli_options_match_signatures():
+    # structural gate: a click option without a matching function parameter
+    # crashes EVERY invocation of that command (round-2 regression: the
+    # --shard-axis option shipped without the est_ld parameter).  Invoking
+    # the callback is too slow to do for every flag combination, so check
+    # the wiring itself: every click Option's destination name must be a
+    # parameter of the wrapped function (handle_exception consumes
+    # `display`, the group consumes its own options).
+    import inspect
+
+    import click
+
+    from nldsc_tpu.cli import main
+
+    for cmd_name, cmd in main.commands.items():
+        fn = inspect.unwrap(cmd.callback)
+        # unwrap the handle_exception closure to the real function
+        while fn.__closure__:
+            inner = [c.cell_contents for c in fn.__closure__
+                     if callable(c.cell_contents)]
+            if not inner:
+                break
+            fn = inner[0]
+        params = set(inspect.signature(fn).parameters)
+        for opt in cmd.params:
+            if not isinstance(opt, click.Option):
+                continue
+            if opt.name == "display":  # consumed by handle_exception
+                continue
+            assert opt.name in params, (
+                f"CLI command {cmd_name!r}: option --{opt.name} has no "
+                f"matching parameter on {fn.__name__}()")
+
+
+def test_cli_shard_axis_samples(toy_bfile, tmp_path):
+    # --shard-axis samples must route through the sample-sharded engine
+    # and match the default engine's output
+    from click.testing import CliRunner
+
+    from nldsc_tpu.cli import main
+
+    prefix, *_ = toy_bfile
+    runner = CliRunner()
+    out_def = str(tmp_path / "def.L2")
+    out_smp = str(tmp_path / "smp.L2")
+    base_args = ["ld", "--bfile", prefix, "-kb", "10", "-maf", "0.01",
+                 "--block-size", "64", "--display"]
+    res = runner.invoke(main, [*base_args, "-o", out_def])
+    assert res.exit_code == 0, res.output
+    res = runner.invoke(main, [*base_args, "-o", out_smp,
+                               "--shard-axis", "samples", "--n-devices", "4"])
+    assert res.exit_code == 0, res.output
+    a = pd.read_csv(out_def, sep="\t")
+    b = pd.read_csv(out_smp, sep="\t")
+    for col in ("L2", "L2D"):
+        np.testing.assert_allclose(b[col], a[col], rtol=1e-4, atol=1e-4,
+                                   equal_nan=True)
+
+
 def test_cli_requires_one_window(toy_bfile):
     from click.testing import CliRunner
 
