@@ -57,7 +57,7 @@ def segment_positions(m_total: int) -> np.ndarray:
         [seg + i * 1e9 for i in range(m_total // M)])
 
 
-def tpu_pass(has_missing=False):
+def tpu_pass(has_missing=False, row_missing=False):
     """One-dispatch device LD pass over SEGMENTS×M SNPs; returns
     (seconds, m_total).
 
@@ -66,11 +66,17 @@ def tpu_pass(has_missing=False):
     engine (int8 MXU matmuls, exact int32 accumulation, analytic
     centering) + the l2 fetch are inside — exactly one jit call, like a
     production per-chromosome run.
+
+    ``has_missing``: entry-uniform 2% missing (EVERY row contaminated —
+    the worst case; global 8-matmul epilogue).  ``row_missing``:
+    realistic missingness concentrated in 2% of SNP rows (5% of samples
+    missing within those) — routed through the split-missing engine
+    (clean 3-matmul pass + compact exact corrections, ld_split.py).
     """
     import jax
     import jax.numpy as jnp
 
-    from nldsc_tpu.ld import ld_int8, windows
+    from nldsc_tpu.ld import ld_int8, ld_split, windows
 
     m_total = SEGMENTS * M
     pos = segment_positions(m_total)
@@ -81,10 +87,23 @@ def tpu_pass(has_missing=False):
     meta = (jnp.asarray(pos_ok), jnp.asarray(lo), jnp.asarray(hi),
             jnp.asarray(blk_lo), jnp.asarray(blk_hi))
 
+    any_missing = has_missing or row_missing
+    if row_missing:
+        rowmiss_h = np.zeros(m_total, dtype=bool)
+        rowmiss_h[::50] = True                      # 2% of rows
+        plan = ld_split.plan_missing_compaction(
+            rowmiss_h, BLOCK, right_k, m_total // BLOCK, m_total)
+        rowmiss_dev = jnp.asarray(rowmiss_h)
+
     @jax.jit
     def gen(key):
         g = jax.random.randint(key, (m_total, N), 0, 3, jnp.int8)
-        if has_missing:
+        if row_missing:
+            miss = jax.random.bernoulli(jax.random.fold_in(key, 1),
+                                        0.05, (m_total, N))
+            miss = miss & jnp.asarray(rowmiss_h)[:, None]
+            g = jnp.where(miss, jnp.int8(-1), g)
+        elif has_missing:
             miss = jax.random.bernoulli(jax.random.fold_in(key, 1),
                                         0.02, (m_total, N))
             g = jnp.where(miss, jnp.int8(-1), g)
@@ -94,15 +113,21 @@ def tpu_pass(has_missing=False):
     def full_pass(g_dev):
         pre = ld_int8.preprocess_int8(g_dev, meta[0], jnp.float32(MAF_THR),
                                       n_samples=N,
-                                      assume_no_missing=not has_missing)
+                                      assume_no_missing=not any_missing)
         dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(STD_THR))
-        out = ld_int8.ld_scores_int8_sym(
-            pre["g"], pre["m"], pre["h"], ld_int8.stack_scalars(pre),
-            meta[1], meta[2], pre["usable"],
-            dom_ok, pre["add_sd_zero"], meta[3], meta[4],
-            jnp.float32(RSQ_THR), block_size=BLOCK, band_k=band_k,
-            right_k=right_k, n_samples=N, has_missing=has_missing,
-            dot_dtype="int8")
+        args = (pre["g"], pre["m"], pre["h"], ld_int8.stack_scalars(pre),
+                meta[1], meta[2], pre["usable"], dom_ok, pre["add_sd_zero"])
+        if row_missing:
+            out = ld_split.ld_scores_int8_split(
+                *args, rowmiss_dev, jnp.float32(RSQ_THR), plan,
+                block_size=BLOCK, right_k=right_k, n_samples=N,
+                dot_dtype="int8")
+        else:
+            out = ld_int8.ld_scores_int8_sym(
+                *args, meta[3], meta[4],
+                jnp.float32(RSQ_THR), block_size=BLOCK, band_k=band_k,
+                right_k=right_k, n_samples=N, has_missing=has_missing,
+                dot_dtype="int8")
         return out[0]
 
     g_warm = gen(jax.random.PRNGKey(1))
@@ -192,9 +217,15 @@ def main():
     dt, m_total = tpu_pass()
     rate = m_total / dt
 
-    # --- TPU pass, 2% missing (realistic data: 8-matmul engine path) ---
+    # --- TPU pass, entry-uniform 2% missing (worst case: every row
+    # contaminated, global 8-matmul engine path) ---
     dt_miss, _ = tpu_pass(has_missing=True)
     rate_miss = m_total / dt_miss
+
+    # --- TPU pass, missing concentrated in 2% of rows (realistic;
+    # split-missing engine: clean-rate pass + compact corrections) ---
+    dt_rowmiss, _ = tpu_pass(row_missing=True)
+    rate_rowmiss = m_total / dt_rowmiss
 
     # --- end-to-end bfile -> .L2 (decode + transfer + compute + write) ---
     g_e2e, pos_e2e = make_inputs(M, N, seed=40)
@@ -211,11 +242,13 @@ def main():
                  f"N={N}, window ±{WIN_SNPS} SNPs, add+dom, one dispatch)"),
         "vs_baseline": round(rate / cpu_rate, 2),
         "missing2pct_snps_per_sec": round(rate_miss, 1),
+        "missing2pct_rows_snps_per_sec": round(rate_rowmiss, 1),
         "e2e_bfile_to_l2_seconds": round(e2e_dt, 2),
         "e2e_snps_per_sec": round(M / e2e_dt, 1),
     }))
-    print(f"# tpu: {dt:.3f}s ({rate:,.0f} SNPs/s) | 2% missing: "
-          f"{rate_miss:,.0f} SNPs/s | e2e bfile->L2 (M={M}): {e2e_dt:.1f}s "
+    print(f"# tpu: {dt:.3f}s ({rate:,.0f} SNPs/s) | 2% entries missing: "
+          f"{rate_miss:,.0f} | 2% rows missing (split): "
+          f"{rate_rowmiss:,.0f} SNPs/s | e2e bfile->L2 (M={M}): {e2e_dt:.1f}s "
           f"| cpu-baseline: {cpu_rate:,.0f} SNPs/s (NumPy/BLAS subset "
           f"M={CPU_M}, add+dom)", file=sys.stderr)
 

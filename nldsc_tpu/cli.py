@@ -87,6 +87,11 @@ def main(log_file):
               default="int8",
               help="MXU contraction dtype for the integer engines (both are "
                    "exact for genotype codes; int8 is ~2x bf16 on v5e)")
+@click.option("--split-missing/--no-split-missing", "split_missing",
+              default=None,
+              help="Per-row missing-data specialization: clean-rate pass + "
+                   "exact compact corrections (default: auto, on when <=25% "
+                   "of rows carry missing genotypes)")
 @click.option("--n-devices", metavar="N", type=int, default=None,
               help="Shard the SNP axis over N devices (default: all local "
                    "devices when more than one is visible)")
@@ -117,8 +122,8 @@ def main(log_file):
 @handle_exception
 def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
            extra, block_size, pallas, engine, symmetric, dot_dtype,
-           n_devices, shard_axis, profile_dir, streaming, chunk_rows,
-           resume_path, annot, progress):
+           split_missing, n_devices, shard_axis, profile_dir, streaming,
+           chunk_rows, resume_path, annot, progress):
     if sum(map(bool, [ld_wind_kb, ld_wind_cm])) != 1:
         raise RuntimeError("Please, specify exactly one --ld-wind option")
     if ld_wind_kb:
@@ -137,6 +142,7 @@ def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
         out=out, extra=extra, summary=True,
         block_size=block_size, use_pallas=use_pallas, use_int8=use_int8,
         symmetric=symmetric, int8_dot_dtype=dot_dtype,
+        split_missing=split_missing,
         n_devices=n_devices, shard_samples=(shard_axis == "samples"),
         profile_dir=profile_dir,
         streaming=streaming, chunk_rows=chunk_rows, resume_path=resume_path,

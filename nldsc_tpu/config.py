@@ -50,6 +50,11 @@ class LDConfig:
     int8_dot_dtype: str = "int8"   # 'int8' (int8x8->int32 MXU, ~2x bf16
                                    # rate on v5e, exact) | 'bf16' (exact
                                    # f32 accumulation, N_pad <= 4M)
+    split_missing: bool | None = None  # per-row missing specialization:
+                                   # clean 3-matmul pass + compact exact
+                                   # corrections (ld_split.py); None =
+                                   # auto (on when ≤25% of usable rows
+                                   # carry missing genotypes)
 
     def __post_init__(self):
         wind = float(self.ld_wind)

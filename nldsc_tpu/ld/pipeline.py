@@ -26,6 +26,10 @@ from ..io.ldscores import make_output, write_l2, write_m_files
 from ..io.plink import PlinkDataset
 from . import ld_xla, preprocess, windows
 
+#: one jitted finalize shared by the segmented/split dispatch paths (an
+#: eager call would pay one runtime dispatch per jnp op)
+_finalize_jit = jax.jit(ld_xla.finalize_outputs)
+
 
 def _pad_to(x: np.ndarray, size: int, fill) -> np.ndarray:
     if x.shape[0] == size:
@@ -149,9 +153,57 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
         elif symmetric:
             right_k = windows.right_band_blocks(blk_hi, B)
             n_blocks = m_pad // B
+            # --- per-row missing specialization (split engine) ---
+            # the global has_missing static forces the 8-matmul epilogue on
+            # EVERY tile; when only a minority of rows actually carry
+            # missing genotypes, the split engine runs the 3-matmul clean
+            # pass everywhere and corrects contaminated pairs against
+            # compacted rows (cost ∝ contaminated fraction).
+            split_plan = None
+            use_missing = has_missing
+            if has_missing:
+                from . import ld_split  # noqa: PLC0415
+                usable_h = np.asarray(pre["usable"])
+                rowmiss_h = (np.asarray(pre["cm"]) > (n_pad - n)) & usable_h
+                frac = float(rowmiss_h.mean())
+                want_split = (config.split_missing
+                              if config.split_missing is not None
+                              else frac <= 0.25)
+                if not rowmiss_h.any():
+                    # every contaminated row is unusable: no counted pair
+                    # touches missing data — the clean epilogue is exact
+                    use_missing = False
+                elif want_split:
+                    split_plan = ld_split.plan_missing_compaction(
+                        rowmiss_h, B, right_k, n_blocks, m_pad)
+                    log.info("Split-missing engine: %.2f%% contaminated "
+                             "rows (Pi=%d, Pj=%d)", 100.0 * frac,
+                             split_plan["pi"], split_plan["pj"])
+                    split_dev = (jnp.asarray(rowmiss_h),
+                                 jnp.asarray(split_plan["miss_idx"]),
+                                 jnp.asarray(split_plan["piv_start"]),
+                                 jnp.asarray(split_plan["piv_cnt"]),
+                                 jnp.asarray(split_plan["band_start"]),
+                                 jnp.asarray(split_plan["band_cnt"]))
+
+            if split_plan is not None:
+                def run_segment(s0: int, nb_s: int):
+                    return ld_split.sym_scan_segment_split(
+                        *int8_args[:9], split_dev[0], int8_args[11],
+                        jnp.int32(s0), *split_dev[1:], block_size=B,
+                        right_k=right_k, n_samples=n, n_scan_blocks=nb_s,
+                        pi=split_plan["pi"], pj=split_plan["pj"],
+                        dot_dtype=config.int8_dot_dtype)
+            else:
+                def run_segment(s0: int, nb_s: int):
+                    scan_args = int8_args[:9] + (int8_args[11],)
+                    return ld_int8.sym_scan_segment(
+                        *scan_args, jnp.int32(s0), block_size=B,
+                        right_k=right_k, n_samples=n, n_scan_blocks=nb_s,
+                        has_missing=use_missing,
+                        dot_dtype=config.int8_dot_dtype)
+
             if progress is not None and n_blocks > 1:
-                from .ld_xla import finalize_outputs  # noqa: PLC0415
-                scan_args = int8_args[:9] + (int8_args[11],)  # drop blk_lo/hi
                 n_seg = min(16, n_blocks)
                 seg_blocks = -(-n_blocks // n_seg)
                 totals = None
@@ -159,25 +211,18 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
                 progress(0, m)
                 for s0 in range(0, n_blocks, seg_blocks):
                     nb_s = min(seg_blocks, n_blocks - s0)
-                    accs = ld_int8.sym_scan_segment(
-                        *scan_args, jnp.int32(s0), block_size=B,
-                        right_k=right_k, n_samples=n, n_scan_blocks=nb_s,
-                        has_missing=has_missing,
-                        dot_dtype=config.int8_dot_dtype)
+                    accs = run_segment(s0, nb_s)
                     totals = (accs if totals is None else
                               jax.tree.map(jnp.add, totals, accs))
                     np.asarray(accs[0][:1])        # completion fence
                     done = min(done + nb_s * B, m)
                     progress(done, m)
-                l2_c, ws_c, poi_c, l2d_c, wsd_c, wse_c = totals
-                l2, l2d, ws, wsd, wse = finalize_outputs(
-                    l2_c, l2d_c, ws_c, wsd_c, wse_c, poi_c,
-                    pre["usable"], pre["add_sd_zero"])
             else:
-                l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8_sym(
-                    *int8_args, block_size=B, band_k=band_k, right_k=right_k,
-                    n_samples=n, has_missing=has_missing,
-                    dot_dtype=config.int8_dot_dtype)
+                totals = run_segment(0, n_blocks)
+            l2_c, ws_c, poi_c, l2d_c, wsd_c, wse_c = totals
+            l2, l2d, ws, wsd, wse = _finalize_jit(
+                l2_c, l2d_c, ws_c, wsd_c, wse_c, poi_c,
+                pre["usable"], pre["add_sd_zero"])
         else:
             l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8(
                 *int8_args, block_size=B, band_k=band_k, n_samples=n,
@@ -353,6 +398,7 @@ def estimate_lds(
     use_int8: bool | None = None,
     symmetric: bool | None = None,
     int8_dot_dtype: str = "int8",
+    split_missing: bool | None = None,
     progress: bool | None = None,
     verbose: int = 0,  # accepted for reference API drop-in compatibility
 ) -> pd.DataFrame | None:
@@ -378,7 +424,7 @@ def estimate_lds(
         ld_wind=ld_wind, wind_metric=wind_metric, maf_thr=maf_thr,
         std_thr=std_thr, rsq_thr=rsq_thr, block_size=block_size,
         use_pallas=use_pallas, use_int8=use_int8, symmetric=symmetric,
-        int8_dot_dtype=int8_dot_dtype,
+        int8_dot_dtype=int8_dot_dtype, split_missing=split_missing,
     ).resolve_rsq(ds.n_snp)
 
     log.info("Input: %s, size: (M=%d, N=%d)", ds.bed_path, ds.n_snp, ds.n_samples)
