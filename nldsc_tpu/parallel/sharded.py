@@ -4,8 +4,10 @@ Structure (the TPU-native replacement for the reference's single-threaded
 sliding-window cache, ``stream.h:106-198``):
 
 * the padded SNP axis is split evenly over the 1-D ``snp`` mesh; every
-  shard *owns* its rows' outputs (no cross-device reductions at all —
-  results are bitwise-identical to the single-device slab engine);
+  shard *owns* its rows' outputs (no cross-device reductions at all;
+  results are bitwise-invariant in the DEVICE COUNT, integer counters
+  exactly equal to the single-device slab engine, f32 score sums equal to
+  it within summation-order ulps — see ``mesh.py`` for the full contract);
 * preprocessing (impute/standardize/residualize) runs shard-local;
 * each shard sends its first/last ``H`` preprocessed rows to its ring
   neighbors with ``lax.ppermute`` (non-wrapping: edge shards receive zeros,
@@ -157,6 +159,15 @@ def _shard_fn_int8_sym(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr,
     Halo traffic halves vs the full-band shard body (right-only), matmul
     flops drop to 3/8 half-band products (vs 2/6 full-band) — the same
     4/3 (resp. 3/2) saving as the in-core symmetric engine.
+
+    Bitwise determinism: column credits are kept as PER-PIVOT-BLOCK
+    vectors (not folded into a running carry), predecessors ship their
+    last ``right_k - 1`` blocks' vectors back, and every row's total is
+    assembled by one ascending-pivot-block left fold followed by the row
+    sums — the exact f32 grouping the in-core scan produces.  Because
+    the fold order depends only on BLOCK indices (never on where shard
+    boundaries fall), l2/l2d are bitwise-invariant in the device count
+    (asserted in tests/test_sharded.py and the driver dryrun).
     """
     from ..ld.ld_int8 import (corr_tiles, make_idot,  # noqa: PLC0415
                               preprocess_int8, scal_views, stack_scalars)
@@ -187,8 +198,18 @@ def _shard_fn_int8_sym(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr,
                  for k in range(1, n_hops + 1)]
         return jnp.concatenate(parts, axis=0)[:H]
 
+    # every pivot block's band is anchored AT the block (j0 = r0, never
+    # clamped): zero rows pad the halo so the last block's full-width
+    # band always fits.  Out-of-range columns are masked by gj < m_pad;
+    # the fixed anchor is what makes the per-block credit vectors
+    # fold-able in a device-count-independent order (see below).
+    right_rows = min(right_k * B, m_pad)
+    pad_rows = max(0, (L - B) + right_rows - (L + H))
+
     def ext(x):
-        return jnp.concatenate([x, right_halo(x)], axis=0)
+        halo = right_halo(x)
+        zeros = jnp.zeros((pad_rows,) + x.shape[1:], x.dtype)
+        return jnp.concatenate([x, halo, zeros], axis=0)
 
     g_ext = ext(pre["g"])
     m_ext = ext(pre["m"])
@@ -199,8 +220,6 @@ def _shard_fn_int8_sym(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr,
     ], axis=1)                                # + flags at cols 9..11
     sc_ext = ext(scalars)
 
-    ext_rows = L + H
-    right_rows = min(right_k * B, ext_rows)
     n = jnp.float32(n_samples)
     n_pad_cols = g.shape[1]
     n_padf = jnp.float32(n_pad_cols)
@@ -210,8 +229,7 @@ def _shard_fn_int8_sym(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr,
     def sl(v, at, size):
         return lax.dynamic_slice_in_dim(v, at, size)
 
-    def step(carry, b_local):
-        row_acc, col_acc = carry     # (6, L) and (6, ext_rows) f32
+    def step(b_local):
         r0 = b_local * B
         gr0 = shard_start + r0
         gi = gr0 + jnp.arange(B, dtype=jnp.int32)
@@ -226,7 +244,7 @@ def _shard_fn_int8_sym(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr,
         poison_i = (sc_im[:, 11] > 0)[:, None]
         sc_i = scal_views(sc_im[:, :9], "col")
 
-        j0 = jnp.minimum(r0, ext_rows - right_rows)
+        j0 = r0                     # fixed anchor (padding absorbs the tail)
         gj = shard_start + j0 + jnp.arange(right_rows, dtype=jnp.int32)
         g_j = lax.dynamic_slice_in_dim(g_ext, j0, right_rows, axis=0)
         m_j = lax.dynamic_slice_in_dim(m_ext, j0, right_rows, axis=0)
@@ -271,34 +289,41 @@ def _shard_fn_int8_sym(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr,
             jnp.sum(dmB, axis=0).astype(jnp.float32),
             jnp.sum((adj_dB > rsq_thr) & dmB, axis=0).astype(jnp.float32),
         ])
-        row_acc = lax.dynamic_update_slice_in_dim(
-            row_acc, lax.dynamic_slice_in_dim(row_acc, r0, B, axis=1) + rows_b,
-            r0, axis=1)
-        col_acc = lax.dynamic_update_slice_in_dim(
-            col_acc, lax.dynamic_slice_in_dim(col_acc, j0, right_rows, axis=1)
-            + cols_b, j0, axis=1)
-        return (row_acc, col_acc), None
+        return rows_b, cols_b
 
-    # pcast to=varying: the zero carries must be marked shard-varying to
-    # match the body outputs under shard_map's varying-axis typing
-    zr = lax.pcast(jnp.zeros((6, L), jnp.float32), SNP_AXIS, to="varying")
-    zc = lax.pcast(jnp.zeros((6, ext_rows), jnp.float32), SNP_AXIS,
-                   to="varying")
-    (row_acc, col_acc), _ = lax.scan(
-        step, (zr, zc), jnp.arange(L // B, dtype=jnp.int32))
+    nb = L // B
+    rows_s, cols_s = lax.map(step, jnp.arange(nb, dtype=jnp.int32))
+    # rows_s: (nb, 6, B) — disjoint per block; cols_s: (nb, 6, right_rows)
+    # where block b's vector covers rows [b·B, b·B + right_rows).
+    rows_flat = jnp.moveaxis(rows_s, 1, 0).reshape(6, L)
 
-    # fold the local part of the column credits, then return halo credits
-    # to their owning (successor) shards — the reverse of the data halo
-    acc = row_acc + col_acc[:, :L]
-    if H > 0:
-        tail = col_acc[:, L:]                      # (6, H) for shards ahead
-        n_hops = -(-H // L)
-        for k in range(1, n_hops + 1):
-            seg = tail[:, (k - 1) * L:k * L]
-            seg_w = seg.shape[1]                   # < L on the last hop
-            perm = [(i, i + k) for i in range(n_shards - k)]
-            credit = lax.ppermute(seg, SNP_AXIS, perm)
-            acc = acc.at[:, :seg_w].add(credit)
+    # deterministic column fold: a row in block c must receive its credits
+    # in ascending pivot-block order (c-q, ..., c-1) regardless of where
+    # shard boundaries fall, so predecessors ship their last q = right_k-1
+    # blocks' UNFOLDED vectors and the fold below runs over block distance
+    # k descending (= pivot block ascending) — the same left-fold grouping
+    # the in-core scan produces.
+    q = max(right_rows // B - 1, 0)
+    if q > 0:
+        n_hops_c = -(-q // nb)
+        parts = []
+        for h in range(n_hops_c, 0, -1):          # farthest first
+            take = min(nb, q - (h - 1) * nb)
+            seg = cols_s if take == nb else cols_s[nb - take:]
+            perm = [(i, i + h) for i in range(n_shards - h)]
+            parts.append(lax.ppermute(seg, SNP_AXIS, perm))
+        parts.append(cols_s)
+        c_ext = jnp.concatenate(parts, axis=0)    # (q + nb, 6, right_rows)
+        acc_blocks = jnp.zeros((nb, 6, B), jnp.float32)
+        for k in range(q, 0, -1):
+            acc_blocks = acc_blocks + c_ext[q - k: q - k + nb, :,
+                                            k * B:(k + 1) * B]
+        cols_flat = jnp.moveaxis(acc_blocks, 1, 0).reshape(6, L)
+    else:
+        cols_flat = jnp.zeros((6, L), jnp.float32)
+    # intra-block column credits are impossible (col_base needs
+    # j >= r0 + B), so segment k = 0 of each block's vector is zero.
+    acc = cols_flat + rows_flat
     l2_acc, ws, poi, l2d_acc, wsd, wse = acc
     return (l2_acc, l2d_acc, ws.astype(jnp.int32), wsd.astype(jnp.int32),
             wse.astype(jnp.int32), poi.astype(jnp.int32),

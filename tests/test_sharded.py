@@ -150,6 +150,64 @@ def test_grid_sharded_no_missing_exact(rng):
     assert_ld_parity(res, ora, rtol=3e-6, atol=3e-6)
 
 
+@pytest.mark.parametrize("missing_rate", [0.0, 0.03])
+def test_snp_sharded_bitwise_across_device_counts(rng, missing_rate):
+    """The SNP-sharded engine is BITWISE invariant in the device count.
+
+    Per-shard tile geometry is count-independent (j0 = local r0 always —
+    the halo supplies out-of-range rows instead of shifting the band), so
+    every per-row reduction runs over the same values at the same lane
+    positions regardless of the mesh size.  Includes a wide window so
+    column credits cross shard boundaries (multi-hop on the 8-mesh).
+    """
+    g = random_genotypes(rng, 384, 160, missing_rate=missing_rate)
+    pos = make_positions(384, spacing=300)
+    cfg = _cfg(ld_wind=20000, block_size=16)
+    base = ld_scores_sharded(g, pos, cfg, snp_mesh(1))
+    for nd in (2, 4, 8):
+        res = ld_scores_sharded(g, pos, cfg, snp_mesh(nd))
+        for k in ("l2", "l2d"):
+            assert np.array_equal(res[k], base[k], equal_nan=True), (k, nd)
+        for k in ("l2_ws", "l2d_ws", "l2d_wse"):
+            np.testing.assert_array_equal(res[k], base[k], err_msg=f"{k}@{nd}")
+
+
+@pytest.mark.parametrize("missing_rate", [0.0, 0.03])
+def test_sample_sharded_bitwise_across_device_counts(rng, missing_rate):
+    """Sample-axis sharding: exact integer psum of the S-matrices makes
+    the epilogue inputs shard-count-independent — outputs are bitwise."""
+    from nldsc_tpu.parallel.sample_sharded import ld_scores_sample_sharded
+
+    g = random_genotypes(rng, 96, 300, missing_rate=missing_rate)
+    pos = make_positions(96, spacing=700)
+    cfg = _cfg(ld_wind=6000, block_size=16)
+    base = ld_scores_sample_sharded(g, pos, cfg, snp_mesh(1))
+    for nd in (2, 8):
+        res = ld_scores_sample_sharded(g, pos, cfg, snp_mesh(nd))
+        for k in ("l2", "l2d"):
+            assert np.array_equal(res[k], base[k], equal_nan=True), (k, nd)
+        for k in ("l2_ws", "l2d_ws", "l2d_wse"):
+            np.testing.assert_array_equal(res[k], base[k], err_msg=f"{k}@{nd}")
+
+
+def test_sharded_counters_exact_vs_dense(rng):
+    """All integer counters — including the VALUE-dependent WSE — must
+    match the single-device dense engine exactly (the adjusted r² values
+    feeding the threshold compare are the same exact-integer algebra);
+    the f32 score sums may differ by summation-order ulps only."""
+    g = random_genotypes(rng, 384, 160, missing_rate=0.03)
+    pos = make_positions(384, spacing=300)
+    cfg = _cfg(ld_wind=20000, block_size=16)
+    dense = compute_ld_scores(g, pos, cfg)
+    res = ld_scores_sharded(g, pos, cfg, snp_mesh(8))
+    for k in ("l2_ws", "l2d_ws", "l2d_wse"):
+        np.testing.assert_array_equal(res[k], dense[k], err_msg=k)
+    np.testing.assert_allclose(res["l2"], dense["l2"], rtol=1e-6, atol=1e-5,
+                               equal_nan=True)
+    np.testing.assert_allclose(res["l2d"], dense["l2d"], rtol=1e-6,
+                               atol=1e-5, equal_nan=True)
+
+
 def test_sharded_packed_matches_dense(tmp_path, rng):
     # packed (2-bit) rows scattered over the mesh + device unpack == dense
     from nldsc_tpu.io.plink import BedReader, write_plink
