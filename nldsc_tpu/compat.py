@@ -66,7 +66,9 @@ def calculate(params: LDScoreParams, **engine_kwargs) -> LDScoreResult:
     # the whole dense working set in HBM (same policy as estimate_lds)
     from .ld.pipeline import STREAMING_BYTES_THRESHOLD  # noqa: PLC0415
 
-    dense_bytes = 2 * 4 * params.n_snp * (-(-params.n_org // 128) * 128)
+    # int8 default engine: g/m/h int8 copies (same estimate as the
+    # pipeline's auto-streaming rule)
+    dense_bytes = 3 * params.n_snp * (-(-params.n_org // 128) * 128)
     if dense_bytes > STREAMING_BYTES_THRESHOLD:
         from .ld.streaming import compute_ld_scores_streaming  # noqa: PLC0415
 

@@ -512,9 +512,10 @@ def ld_scores_int8_sym2(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
 @partial(jax.jit, static_argnames=("block_size", "band_k", "right_k",
                                    "n_samples", "has_missing", "dot_dtype"))
 def ld_scores_int8_sym(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
-                       blk_lo, blk_hi, rsq_thr, *, block_size: int,
-                       band_k: int, right_k: int, n_samples: int,
-                       has_missing: bool, dot_dtype: str = "int8"):
+                       blk_lo, blk_hi, rsq_thr, annot=None, *,
+                       block_size: int, band_k: int, right_k: int,
+                       n_samples: int, has_missing: bool,
+                       dot_dtype: str = "int8"):
     """Symmetry-exploiting integer engine.
 
     Each pivot block multiplies only its RIGHT half-band; one tile yields
@@ -531,27 +532,48 @@ def ld_scores_int8_sym(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
     Intra-block pairs are fully covered by row-direction sums (both orders
     appear inside the tile); column-direction sums skip the intra tile.
 
+    ``annot``: optional f32 (M_pad, p) annotation matrix — extends the
+    return to ``(l2_annot, l2d_annot, l2, l2d, ws, wsd, wse)`` with the
+    same sentinel semantics as :func:`ld_scores_int8`.
+
     ``band_k`` and ``blk_lo``/``blk_hi`` are accepted (and ignored) for
     call-site symmetry with :func:`ld_scores_int8` — the right band's
     geometry is fully determined by ``right_k``.
     """
     accs = sym_scan_segment(
         g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero, rsq_thr,
-        jnp.int32(0), block_size=block_size, right_k=right_k,
+        jnp.int32(0), annot, block_size=block_size, right_k=right_k,
         n_samples=n_samples, n_scan_blocks=g.shape[0] // block_size,
         has_missing=has_missing, dot_dtype=dot_dtype)
-    (l2_acc, ws, poison, l2d_acc, wsd, wse) = accs
-    return finalize_outputs(l2_acc, l2d_acc, ws, wsd, wse, poison,
-                            usable, add_sd_zero)
+    (l2_acc, ws, poison, l2d_acc, wsd, wse) = accs[:6]
+    fin = finalize_outputs(l2_acc, l2d_acc, ws, wsd, wse, poison,
+                           usable, add_sd_zero)
+    if annot is None:
+        return fin
+    l2_a, l2d_a = accs[6:]
+    return (*finalize_annot(l2_a, l2d_a, annot, usable, add_sd_zero,
+                            poison, wsd), *fin)
+
+
+def finalize_annot(l2_a, l2d_a, annot, usable, add_sd_zero, poison, wsd):
+    """Sentinel semantics for the partitioned accumulators: + self-term,
+    NaN rows per Q4 (same contract as ld_scores_xla_annot)."""
+    nan = jnp.float32(jnp.nan)
+    good = (usable & (poison == 0))[:, None]
+    l2_a = jnp.where(good, annot + l2_a, nan)           # + self term
+    l2d_bad = jnp.where(wsd > 0, nan, 0.0)[:, None]
+    l2d_a = jnp.where(usable[:, None],
+                      jnp.where(add_sd_zero[:, None], l2d_bad, l2d_a), nan)
+    return l2_a, l2d_a
 
 
 @partial(jax.jit, static_argnames=("block_size", "right_k", "n_samples",
                                    "n_scan_blocks", "has_missing",
                                    "dot_dtype"))
 def sym_scan_segment(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
-                     rsq_thr, blk0, *, block_size: int, right_k: int,
-                     n_samples: int, n_scan_blocks: int, has_missing: bool,
-                     dot_dtype: str = "int8"):
+                     rsq_thr, blk0, annot=None, *, block_size: int,
+                     right_k: int, n_samples: int, n_scan_blocks: int,
+                     has_missing: bool, dot_dtype: str = "int8"):
     """Credit accumulation of :func:`ld_scores_int8_sym` for the pivot
     blocks ``[blk0, blk0 + n_scan_blocks)`` only.
 
@@ -565,6 +587,14 @@ def sym_scan_segment(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
     pass in chunks and report real percent/ETA progress (reference UX:
     ``indicators.h`` per-SNP bar) without serializing on a host fetch of
     the full outputs.
+
+    ``annot``: optional f32 (M_pad, p) annotation matrix.  Adds two
+    (M_pad, p) accumulators to the return: per-annotation L2/L2D credit
+    sums, via four skinny contractions per tile — the row direction
+    contracts the masked adjusted-r² tile with the band's annotation
+    slab, the mirrored column direction contracts its transpose with the
+    pivot rows' annotations (reference per-pair semantics weighted by the
+    NEIGHBOR's annotation: ``ldscalc.h:38-47``).
     """
     m_pad, n_pad_cols = g.shape
     assert n_pad_cols <= (1 << 22)
@@ -579,7 +609,7 @@ def sym_scan_segment(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
         return lax.dynamic_slice_in_dim(v, at, size)
 
     def step(carry, b):
-        (l2_f, ws_f, poi_f, l2d_f, wsd_f, wse_f) = carry
+        (l2_f, ws_f, poi_f, l2d_f, wsd_f, wse_f) = carry[:6]
         r0 = b * B
         gi = r0 + jnp.arange(B, dtype=jnp.int32)
         g_i = lax.dynamic_slice_in_dim(g, r0, B, axis=0)
@@ -647,11 +677,50 @@ def sym_scan_segment(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
                    jnp.sum((adj_dA > rsq_thr) & dmA, axis=1).astype(jnp.int32)),
             j0, jnp.sum((adj_dB > rsq_thr) & dmB, axis=0).astype(jnp.int32))
 
-        return (l2_f, ws_f, poi_f, l2d_f, wsd_f, wse_f), None
+        if annot is None:
+            return (l2_f, ws_f, poi_f, l2d_f, wsd_f, wse_f), None
+
+        # partitioned credits: row direction weights by the BAND rows'
+        # annotations, the mirrored column direction by the PIVOT rows'
+        # (each pair weighted by its neighbor's annotation — ldscalc.h
+        # per-pair semantics).  precision 'high' (bf16_3x): the default
+        # TPU matmul would round the adjusted r² operand to one bf16 pass
+        # (~5e-3 on the sums); three passes recover ~f32 accuracy at half
+        # the cost of 'highest' — measured 34%→? annot overhead at p=4.
+        # Column direction contracts over the PIVOT axis via dot_general
+        # (no materialized transpose of the (B, right_rows) tiles).
+        l2a_f, l2da_f = carry[6:]
+        aj = lax.dynamic_slice_in_dim(annot, j0, right_rows, axis=0)
+        ai = lax.dynamic_slice_in_dim(annot, r0, B, axis=0)
+
+        def credit2(full, at, vals):
+            cur = lax.dynamic_slice_in_dim(full, at, vals.shape[0], axis=0)
+            return lax.dynamic_update_slice_in_dim(full, cur + vals, at, 0)
+
+        # four skinny matmuls (measured: stacking/concatenating the masked
+        # tiles to merge launches costs MORE in copies than it saves);
+        # the column direction contracts dim 0 via dot_general so the
+        # (B, right_rows) tiles are never transposed in memory
+        dotp = partial(jnp.dot, precision="high",
+                       preferred_element_type=jnp.float32)
+
+        def dot_ct(tile, a_piv):            # (B,W) tile ᵀ· (B,p) -> (W,p)
+            return lax.dot_general(tile, a_piv, (((0,), (0,)), ((), ())),
+                                   precision="high",
+                                   preferred_element_type=jnp.float32)
+
+        l2a_f = credit2(credit2(l2a_f, r0, dotp(adj_add * rowf, aj)),
+                        j0, dot_ct(adj_add * colf, ai))
+        l2da_f = credit2(credit2(l2da_f, r0, dotp(adj_dA * dmAf, aj)),
+                         j0, dot_ct(adj_dB * dmBf, ai))
+        return (l2_f, ws_f, poi_f, l2d_f, wsd_f, wse_f, l2a_f, l2da_f), None
 
     zf = jnp.zeros(m_pad, jnp.float32)
     zi = jnp.zeros(m_pad, jnp.int32)
+    init = (zf, zi, zi, zf, zi, zi)
+    if annot is not None:
+        za = jnp.zeros((m_pad, annot.shape[1]), jnp.float32)
+        init = init + (za, za)
     carry, _ = lax.scan(
-        step, (zf, zi, zi, zf, zi, zi),
-        blk0 + jnp.arange(n_scan_blocks, dtype=jnp.int32))
+        step, init, blk0 + jnp.arange(n_scan_blocks, dtype=jnp.int32))
     return carry

@@ -302,19 +302,35 @@ def compute_ld_scores_annot(genotypes: np.ndarray, positions: np.ndarray,
                 [g, np.full((m_pad, n_pad - n), pad_val, dtype=np.int8)],
                 axis=1)
         g_dev = jnp.asarray(g, device=device)
+    # measured on hardware (scripts/time_annot.py, min-of-reps): in-core
+    # the FULL-BAND annot route (71 ms / 131k SNPs) beats the symmetric
+    # one (91 ms) — the per-tile annot contractions sit on the symmetric
+    # scan's sequential critical path, while lax.map overlaps them.
+    # Out-of-core the symmetric band's 2/3 transfer wins instead
+    # (streaming.py runs annot symmetric).  Explicit --symmetric honors
+    # the user's choice.
+    symmetric = config.symmetric if config.symmetric is not None else False
     if use_int8:
         from . import ld_int8  # noqa: PLC0415
         pre = ld_int8.preprocess_int8(
             g_dev, jnp.asarray(pos_ok_pad), jnp.float32(config.maf_thr),
             n_samples=n, assume_no_missing=not has_missing)
         dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
-        l2_a, l2d_a, l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8(
-            pre["g"], pre["m"], pre["h"], ld_int8.stack_scalars(pre),
-            jnp.asarray(lo_pad), jnp.asarray(hi_pad), pre["usable"], dom_ok,
-            pre["add_sd_zero"], jnp.asarray(blk_lo), jnp.asarray(blk_hi),
-            jnp.float32(config.rsq_thr), jnp.asarray(a_pad),
-            block_size=B, band_k=band_k, n_samples=n,
-            has_missing=has_missing, dot_dtype=config.int8_dot_dtype)
+        args = (pre["g"], pre["m"], pre["h"], ld_int8.stack_scalars(pre),
+                jnp.asarray(lo_pad), jnp.asarray(hi_pad), pre["usable"],
+                dom_ok, pre["add_sd_zero"], jnp.asarray(blk_lo),
+                jnp.asarray(blk_hi), jnp.float32(config.rsq_thr),
+                jnp.asarray(a_pad))
+        if symmetric:
+            right_k = windows.right_band_blocks(blk_hi, B)
+            l2_a, l2d_a, l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8_sym(
+                *args, block_size=B, band_k=band_k, right_k=right_k,
+                n_samples=n, has_missing=has_missing,
+                dot_dtype=config.int8_dot_dtype)
+        else:
+            l2_a, l2d_a, l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8(
+                *args, block_size=B, band_k=band_k, n_samples=n,
+                has_missing=has_missing, dot_dtype=config.int8_dot_dtype)
         out = to_host_result(l2, l2d, ws, wsd, wse, pre["maf"], pre["rstd"], m)
         out["l2_annot"] = np.asarray(l2_a, dtype=np.float64)[:m]
         out["l2d_annot"] = np.asarray(l2d_a, dtype=np.float64)[:m]
@@ -431,7 +447,10 @@ def estimate_lds(
     positions = ds.positions(config.wind_metric)
 
     if streaming is None:
-        dense_bytes = 2 * 4 * ds.n_snp * (-(-ds.n_samples // 128) * 128)
+        # int8 engines hold g/m/h int8 copies (m aliases g when clean);
+        # f32 engines hold add/res f32 rows
+        bpe = 3 if (use_int8 is None or use_int8) else 8
+        dense_bytes = bpe * ds.n_snp * (-(-ds.n_samples // 128) * 128)
         streaming = dense_bytes > STREAMING_BYTES_THRESHOLD
 
     import contextlib

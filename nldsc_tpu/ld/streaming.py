@@ -103,8 +103,8 @@ def _banded_chunk_int8(pre, dom_ok_b, lo_piv, hi_piv, blk_lo_piv, band_g0,
                                    "n_piv_blocks", "has_missing",
                                    "dot_dtype", "psum_axis", "n_pad_total"))
 def _banded_chunk_int8_sym(pre, dom_ok_b, lo_piv, hi_piv, band_g0, m_pad,
-                           rsq_thr, *, block_size: int, right_k: int,
-                           n_samples: int, n_piv_blocks: int,
+                           rsq_thr, annot_b=None, *, block_size: int,
+                           right_k: int, n_samples: int, n_piv_blocks: int,
                            has_missing: bool, dot_dtype: str,
                            psum_axis: str | None = None,
                            n_pad_total: int | None = None):
@@ -116,6 +116,11 @@ def _banded_chunk_int8_sym(pre, dom_ok_b, lo_piv, hi_piv, band_g0, m_pad,
     pivot rows, (6, halo) column credits for rows of LATER chunks).
     Quantity order: l2, ws, poison, l2d, wsd, wse (counters as f32 —
     exact below 2^24).
+
+    ``annot_b``: optional f32 (band_rows, p) band-aligned annotations —
+    extends the return with partitioned credits ((2, chunk_rows, p)
+    local, (2, halo, p) tail; index 0 = L2, 1 = L2D), each pair weighted
+    by its NEIGHBOR's annotation (ldscalc.h per-pair semantics).
 
     ``psum_axis``/``n_pad_total``: set when the SAMPLE axis is sharded
     over a mesh axis (``pre`` holds this shard's columns, its per-SNP
@@ -146,7 +151,7 @@ def _banded_chunk_int8_sym(pre, dom_ok_b, lo_piv, hi_piv, band_g0, m_pad,
         return lax.dynamic_slice_in_dim(v, at, size)
 
     def step(carry, b):
-        row_acc, col_acc = carry
+        row_acc, col_acc = carry[:2]
         r0 = b * B
         gr0 = band_g0 + r0
         gi = gr0 + jnp.arange(B, dtype=jnp.int32)
@@ -211,15 +216,46 @@ def _banded_chunk_int8_sym(pre, dom_ok_b, lo_piv, hi_piv, band_g0, m_pad,
         col_acc = lax.dynamic_update_slice_in_dim(
             col_acc, lax.dynamic_slice_in_dim(col_acc, j0, right_rows, axis=1)
             + cols_b, j0, axis=1)
-        return (row_acc, col_acc), None
+        if annot_b is None:
+            return (row_acc, col_acc), None
+
+        # partitioned credits (precision highest: default TPU matmuls
+        # would round the adjusted r² operand to bf16)
+        row_aa, col_aa = carry[2:]
+        aj = lax.dynamic_slice_in_dim(annot_b, j0, right_rows, axis=0)
+        ai = lax.dynamic_slice_in_dim(annot_b, r0, B, axis=0)
+        dotp = partial(jnp.dot, precision="highest",
+                       preferred_element_type=jnp.float32)
+        rows_a = jnp.stack([dotp(adj_add * row_base, aj),
+                            dotp(adj_dA * dmA, aj)])         # (2, B, p)
+        cols_a = jnp.stack([dotp((adj_add * col_base).T, ai),
+                            dotp((adj_dB * dmB).T, ai)])     # (2, rr, p)
+        row_aa = lax.dynamic_update_slice_in_dim(
+            row_aa, lax.dynamic_slice_in_dim(row_aa, r0, B, axis=1) + rows_a,
+            r0, axis=1)
+        col_aa = lax.dynamic_update_slice_in_dim(
+            col_aa, lax.dynamic_slice_in_dim(col_aa, j0, right_rows, axis=1)
+            + cols_a, j0, axis=1)
+        return (row_acc, col_acc, row_aa, col_aa), None
 
     zr = jnp.zeros((6, chunk_rows), jnp.float32)
     zc = jnp.zeros((6, ext_rows), jnp.float32)
-    (row_acc, col_acc), _ = lax.scan(
-        step, (zr, zc), jnp.arange(n_piv_blocks, dtype=jnp.int32))
+    init = (zr, zc)
+    if annot_b is not None:
+        p_a = annot_b.shape[1]
+        init = init + (jnp.zeros((2, chunk_rows, p_a), jnp.float32),
+                       jnp.zeros((2, ext_rows, p_a), jnp.float32))
+    carry, _ = lax.scan(step, init,
+                        jnp.arange(n_piv_blocks, dtype=jnp.int32))
+    row_acc, col_acc = carry[:2]
     local = row_acc + col_acc[:, :chunk_rows]
     tail = col_acc[:, chunk_rows:] if halo > 0 else col_acc[:, :0]
-    return local, tail
+    if annot_b is None:
+        return local, tail
+    row_aa, col_aa = carry[2:]
+    local_a = row_aa + col_aa[:, :chunk_rows]
+    tail_a = col_aa[:, chunk_rows:] if halo > 0 else col_aa[:, :0]
+    return local, tail, local_a, tail_a
 
 
 @partial(jax.jit, static_argnames=("block_size", "band_k", "n_samples",
@@ -319,14 +355,17 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     # column credits for later chunks ride a host-side carry (checkpointed
     # in the shard files as `tail`)
     symmetric = ((config.symmetric if config.symmetric is not None else True)
-                 and use_int8 and annot is None)
+                 and use_int8)
     if sample_mesh is not None:
         if devices:
             raise ValueError("sample_mesh and devices are mutually "
                              "exclusive — the mesh already uses its devices")
+        if annot is not None:
+            raise ValueError("sample-sharded streaming does not support "
+                             "partitioned (--annot) runs yet")
         if not symmetric:
             raise ValueError("sample-sharded streaming requires the "
-                             "symmetric integer engine (use_int8, no annot, "
+                             "symmetric integer engine (use_int8, "
                              "symmetric not disabled)")
 
     # fixed shapes across chunks -> one trace: pivot span always chunk_rows;
@@ -368,6 +407,8 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     # host-side carry of column credits for rows of later chunks
     # (symmetric mode only); aligned at the next uncollected chunk's p0
     carry = np.zeros((6, halo), dtype=np.float64)
+    carry_a = (np.zeros((2, halo, annot.shape[1]), dtype=np.float64)
+               if annot is not None else None)
     if resume_path:
         import json  # noqa: PLC0415
         from pathlib import Path  # noqa: PLC0415
@@ -425,6 +466,9 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                 offset = (len(shards) - 1 - ci) * chunk_rows
                 if offset < halo:
                     carry[:, :halo - offset] += saved["tail"][:, offset:]
+                    if carry_a is not None and "tail_a" in saved:
+                        carry_a[:, :halo - offset] += \
+                            saved["tail_a"][:, offset:]
         if done:
             log.info("Resuming: %d chunks already complete", len(done))
 
@@ -535,7 +579,7 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
             accs = _banded_chunk_int8_sym(
                 pre, dom_ok, dev_put(lo_pad[p0:p1]), dev_put(hi_pad[p0:p1]),
                 jnp.int32(p0), jnp.int32(m_pad), jnp.float32(config.rsq_thr),
-                block_size=B, right_k=right_k, n_samples=n,
+                annot_b, block_size=B, right_k=right_k, n_samples=n,
                 n_piv_blocks=n_piv_blocks, has_missing=chunk_has_missing,
                 dot_dtype=config.int8_dot_dtype)
             return pre, accs
@@ -571,15 +615,15 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
 
     def collect(ci, pre, accs):
         """Fetch chunk ci's results to host and persist."""
-        nonlocal carry
+        nonlocal carry, carry_a
         p0 = ci * chunk_rows
         p1 = p0 + chunk_rows
         piv_sl = slice(lead, lead + chunk_rows)
         usable_p = np.asarray(pre["usable"])[piv_sl]
         poison_p = np.asarray(pre["add_sd_zero"])[piv_sl]
-        tail = None
+        tail = tail_a = None
         if symmetric:
-            local, tail_dev = accs
+            local, tail_dev = accs[:2]
             sums = np.asarray(local, dtype=np.float64)
             tail = np.asarray(tail_dev, dtype=np.float64)
             # credits earned by EARLIER chunks for these rows
@@ -600,6 +644,24 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                 jnp.asarray(wse_c.astype(np.int32)),
                 jnp.asarray(poi_c.astype(np.int32)),
                 jnp.asarray(usable_p), jnp.asarray(poison_p))
+            if annot_pad is not None:
+                sums_a = np.asarray(accs[2], dtype=np.float64)  # (2, c, p)
+                tail_a = np.asarray(accs[3], dtype=np.float64)  # (2, h, p)
+                sums_a[:, :w] += carry_a[:, :w]
+                nca = np.zeros_like(carry_a)
+                if halo > chunk_rows:
+                    nca[:, :halo - chunk_rows] = carry_a[:, chunk_rows:]
+                nca += tail_a
+                carry_a = nca
+                l2a_p, l2da_p = sums_a
+                good = (usable_p & (poi_c == 0))[:, None]
+                self_a = annot_pad[p0:p1].astype(np.float64)
+                out["l2_annot"][p0:p1] = np.where(good, self_a + l2a_p,
+                                                  np.nan)
+                l2d_bad = np.where(wsd_c > 0, np.nan, 0.0)[:, None]
+                out["l2d_annot"][p0:p1] = np.where(
+                    usable_p[:, None],
+                    np.where(poison_p[:, None], l2d_bad, l2da_p), np.nan)
         else:
             flat = [np.asarray(a) for a in accs]
             fin = finalize_outputs(
@@ -633,6 +695,8 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
         if ck_dir is not None:
             tmp = ck_dir / f".tmp_chunk_{ci:06d}.npz"  # savez wants .npz
             extra = {"tail": tail} if tail is not None else {}
+            if tail_a is not None:
+                extra["tail_a"] = tail_a
             np.savez(tmp, **{k: out[k][p0:p1] for k in out}, **extra)
             os.replace(tmp, ck_dir / f"chunk_{ci:06d}.npz")
         n_run = len(done) - n_resumed

@@ -51,6 +51,24 @@ def test_annot_engine_matches_oracle(use_int8):
     np.testing.assert_array_equal(res["l2_ws"], base["l2_ws"])
 
 
+def test_annot_symmetric_matches_fullband():
+    """The symmetric annot routing (default) equals the full-band engine:
+    exact counters, scores to summation-order ulps."""
+    rng = np.random.default_rng(45)
+    g, pos, annot = _setup(rng, m=500, n=250)
+    base = dict(ld_wind=WIND, wind_metric="bp", maf_thr=MAF, std_thr=STD,
+                rsq_thr=1e-3, block_size=64)
+    sym = compute_ld_scores_annot(g, pos, annot,
+                                  LDConfig(**base, symmetric=True))
+    full = compute_ld_scores_annot(g, pos, annot,
+                                   LDConfig(**base, symmetric=False))
+    for k in ("l2_ws", "l2d_ws", "l2d_wse"):
+        np.testing.assert_array_equal(sym[k], full[k], err_msg=k)
+    for k in ("l2", "l2d", "l2_annot", "l2d_annot"):
+        np.testing.assert_allclose(sym[k], full[k], rtol=1e-5, atol=1e-5,
+                                   equal_nan=True, err_msg=k)
+
+
 def test_annot_engine_skip_sentinels():
     rng = np.random.default_rng(43)
     g, pos, annot = _setup(rng, m=400)

@@ -107,6 +107,64 @@ def test_streaming_resume(tmp_path, rng):
                                     chunk_rows=64, resume_path=resume)
 
 
+def test_streaming_resume_noncontiguous_symmetric(tmp_path, rng):
+    """Symmetric-mode resume from a NON-CONTIGUOUS checkpoint set: column
+    credits flow forward chunk-to-chunk, so only the contiguous prefix is
+    reusable — orphan chunks after a gap must be recomputed and the carry
+    realigned at the resume point (streaming.py orphan-pruning)."""
+    g, pos, bed = _setup(tmp_path, rng, m=400)
+    cfg = LDConfig(ld_wind=9000, wind_metric="bp", maf_thr=0.01,
+                   std_thr=1e-4, rsq_thr=1e-3, block_size=16)
+    resume = str(tmp_path / "ckpt_gap")
+    full = compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg,
+                                       chunk_rows=64, resume_path=resume)
+    import os
+    shards = sorted(f for f in os.listdir(resume) if f.startswith("chunk_"))
+    assert len(shards) >= 4
+    # punch a hole in the middle: chunks after it are orphans
+    os.remove(os.path.join(resume, shards[1]))
+    resumed = compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg,
+                                          chunk_rows=64, resume_path=resume)
+    _assert_same(resumed, full)
+    # ... and resume with NO reusable prefix (chunk 0 missing)
+    shards = sorted(f for f in os.listdir(resume) if f.startswith("chunk_"))
+    os.remove(os.path.join(resume, shards[0]))
+    resumed2 = compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg,
+                                           chunk_rows=64, resume_path=resume)
+    _assert_same(resumed2, full)
+
+
+def test_streaming_annot_symmetric_resume(tmp_path, rng):
+    """Partitioned symmetric streaming checkpoints the annot credit tails
+    (tail_a) and realigns them on resume."""
+    m, n, p = 320, 150, 2
+    g = random_genotypes(rng, m, n, missing_rate=0.03)
+    pos = make_positions(m, spacing=700, jitter_rng=rng)
+    annot = np.column_stack([np.ones(m), (rng.random(m) < 0.4)]).astype(
+        np.float64)[:, :p]
+    prefix = write_plink(tmp_path / "sar", g, bp=pos.astype(np.int64))
+    bed = BedReader(prefix + ".bed", m, n)
+    cfg = LDConfig(ld_wind=8000, wind_metric="bp", maf_thr=0.01,
+                   std_thr=1e-4, rsq_thr=1e-3, block_size=16)
+    resume = str(tmp_path / "ckpt_annot")
+    full = compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg,
+                                       chunk_rows=64, annot=annot,
+                                       resume_path=resume)
+    import os
+    shards = sorted(f for f in os.listdir(resume) if f.startswith("chunk_"))
+    assert len(shards) >= 3
+    for f in shards[-2:]:
+        os.remove(os.path.join(resume, f))
+    resumed = compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg,
+                                          chunk_rows=64, annot=annot,
+                                          resume_path=resume)
+    _assert_same(resumed, full)
+    np.testing.assert_allclose(resumed["l2_annot"], full["l2_annot"],
+                               rtol=1e-6, atol=1e-6, equal_nan=True)
+    np.testing.assert_allclose(resumed["l2d_annot"], full["l2d_annot"],
+                               rtol=1e-6, atol=1e-6, equal_nan=True)
+
+
 def test_streaming_multi_device_matches_dense(tmp_path, rng):
     # round-robin chunk dispatch over the 8 virtual CPU devices must be
     # bitwise-identical to the single-device streaming pass
