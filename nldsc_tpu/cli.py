@@ -79,7 +79,9 @@ def main(log_file):
 @click.option("--engine", type=click.Choice(["int8", "f32", "pallas"]),
               default=None,
               help="Compute engine: integer-exact int8 MXU (default), f32 "
-                   "slab matmuls, or the fused Pallas kernel")
+                   "slab matmuls, or the fused Pallas kernel (experimental "
+                   "alternate — measured SLOWER than the default XLA path, "
+                   "see PERFORMANCE.md)")
 @click.option("--symmetric/--no-symmetric", "symmetric", default=None,
               help="Exploit r-squared symmetry (half-band, default on; "
                    "--no-symmetric forces the full-band engine)")
@@ -158,8 +160,9 @@ def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
 @click.option("--ref-ld", metavar="PTH", required=True,
               help="File/path with LD Scores used as regression predictors")
 @click.option("--w-ld", metavar="PTH", required=True,
-              help="LD Scores for regression weights (must equal --ref-ld; "
-                   "kept for LDSC interface compatibility)")
+              help="LD Scores for regression weights (may differ from "
+                   "--ref-ld, e.g. scores restricted to regression SNPs — "
+                   "the reference requires them equal)")
 @click.option("--strategy", type=click.Choice(["one-stg", "two-stg"]),
               default="two-stg", help="Heritability estimation method")
 @click.option("--chisq-max", metavar="F", type=float, default=None,
@@ -179,6 +182,10 @@ def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
                    "other than CHR/SNP/BP are per-annotation LD scores "
                    "(with per-annotation .M/.M_5_50 sidecars); --w-ld may "
                    "differ from --ref-ld")
+@click.option("--on-device", "on_device", is_flag=True, default=False,
+              help="Run the regression in f32 on the accelerator "
+                   "(compensated jackknife accumulation, measured <=1e-5 "
+                   "vs the default f64-on-CPU path; two-stg/one-stg only)")
 @click.option("--samp-prev", metavar="P", type=float, default=None,
               help="Sample prevalence (with --pop-prev: report "
                    "liability-scale h2)")
@@ -189,9 +196,13 @@ def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
 @click.option("--display", is_flag=True, default=False, help="Display traceback")
 @handle_exception
 def est_h2(sumstats, ref_ld, w_ld, strategy, chisq_max, n_blocks,
-           intercept_h2, two_step, use_m, partitioned, samp_prev, pop_prev,
-           save_to_json):
+           intercept_h2, two_step, use_m, partitioned, on_device,
+           samp_prev, pop_prev, save_to_json):
     if partitioned:
+        if on_device:
+            raise RuntimeError(
+                "--on-device is not supported with --partitioned "
+                "(the multi-annotation solve stays f64 on CPU)")
         from .h2.pipeline import estimate_h2_partitioned  # noqa: PLC0415
 
         estimate_h2_partitioned(
@@ -200,19 +211,14 @@ def est_h2(sumstats, ref_ld, w_ld, strategy, chisq_max, n_blocks,
             save_to_json=save_to_json)
         return
 
-    if ref_ld != w_ld:
-        raise NotImplementedError(
-            "Method for different annotations is not yet implemented "
-            "in the additive+dominance path; use --partitioned for "
-            "multi-annotation h2, or make `ref_ld` and `w_ld` equal.")
-
     from .h2.pipeline import estimate_h2  # noqa: PLC0415
 
     estimate_h2(
         sumstats=sumstats, ldscore=ref_ld, n_blocks=n_blocks,
         intercept_h2=intercept_h2, chisq_max=chisq_max, use_m=use_m,
         two_step=two_step, strategy=strategy, save_to_json=save_to_json,
-        samp_prev=samp_prev, pop_prev=pop_prev)
+        samp_prev=samp_prev, pop_prev=pop_prev,
+        w_ldscore=w_ld if w_ld != ref_ld else None, on_device=on_device)
 
 
 @main.command("convert",

@@ -107,6 +107,11 @@ class H2Config:
     strategy: str = "two-stg"
     use_m: bool = False             # prefer .M over .M_5_50 sidecar
     slow_jackknife: bool = False
+    on_device: bool = False         # run the regression in f32 on the
+                                    # default accelerator (compensated
+                                    # jackknife sums; measured ≤1e-5 vs
+                                    # the f64 CPU path) instead of f64
+                                    # on CPU
 
     def __post_init__(self):
         if self.strategy not in ("one-stg", "two-stg"):

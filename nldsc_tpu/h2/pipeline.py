@@ -74,9 +74,27 @@ def _cols(x, n: int) -> np.ndarray:
 
 
 def estimate_h2_frames(sumstats: pd.DataFrame, ld: pd.DataFrame, M: int,
-                       MD: int, config: H2Config) -> dict:
-    """Core h2 estimation on already-loaded frames (reference _estimate_h2)."""
+                       MD: int, config: H2Config,
+                       w_ld: pd.DataFrame | None = None) -> dict:
+    """Core h2 estimation on already-loaded frames (reference _estimate_h2).
+
+    ``w_ld``: optional separate regression-weight LD scores (columns SNP,
+    L2, L2D).  The reference hard-requires ``--w-ld == --ref-ld``
+    (``nldsc/__main__.py:143-145``); passing a frame here lifts that
+    restriction — weights use the w-ld scores wherever the reference used
+    its (identical) w_ld, i.e. the additive stage weights on w-L2 and the
+    dominance stage on w-L2D.
+    """
     overall = merge_ld_sumstats(sumstats, ld)
+    if w_ld is not None:
+        w_frame = w_ld[["SNP", "L2", "L2D"]].rename(
+            columns={"L2": "_W_L2", "L2D": "_W_L2D"})
+        overall = pd.merge(overall, w_frame, how="inner", on="SNP")
+        log.info("After merging with weight LD scores, %d SNPs remain",
+                 len(overall))
+        if len(overall) == 0:
+            raise RuntimeError(
+                "No SNPs remain after merging with weight LD scores")
     n = len(overall)
     chisq = _cols(overall["Z"] ** 2, n)
 
@@ -97,13 +115,23 @@ def estimate_h2_frames(sumstats: pd.DataFrame, ld: pd.DataFrame, M: int,
 
     ref_ld_add = _cols(overall["L2"], n_new)
     ref_ld_dom = _cols(overall["L2D"], n_new)
-    with jax.enable_x64(True), _cpu_device():
+    w_add = (_cols(overall["_W_L2"], n_new) if w_ld is not None
+             else ref_ld_add)
+    w_dom = (_cols(overall["_W_L2D"], n_new) if w_ld is not None
+             else ref_ld_dom)
+    # on_device: f32 on the default accelerator — the regression code is
+    # dtype-agnostic jnp (f32 linalg IS TPU-native; only f64 isn't), and
+    # the jackknife compensates its accumulation in f32 (jackknife.py)
+    import contextlib  # noqa: PLC0415
+    x64_ctx = jax.enable_x64(not config.on_device)
+    dev_ctx = contextlib.nullcontext() if config.on_device else _cpu_device()
+    with x64_ctx, dev_ctx:
         if config.strategy == "one-stg":
             # joint [L2, L2D] fit — the reference declares this strategy
             # but never implemented it (nldsc/h2/routine.py:43-44)
             return hsq_estimate_onestage(
                 chisq=chisq, x_add=ref_ld_add, x_dom=ref_ld_dom,
-                w_ld=ref_ld_add,
+                w_ld=w_add,
                 N=_cols(overall["N"], n_new),
                 M_add=np.array([[M]], dtype=np.float64),
                 M_dom=np.array([[MD]], dtype=np.float64),
@@ -113,8 +141,8 @@ def estimate_h2_frames(sumstats: pd.DataFrame, ld: pd.DataFrame, M: int,
             )
         return hsq_estimate(
             chisq=chisq,
-            x_add=ref_ld_add, w_add=ref_ld_add,
-            x_dom=ref_ld_dom, w_dom=ref_ld_dom,
+            x_add=ref_ld_add, w_add=w_add,
+            x_dom=ref_ld_dom, w_dom=w_dom,
             N=_cols(overall["N"], n_new),
             M_add=np.array([[M]], dtype=np.float64),
             M_dom=np.array([[MD]], dtype=np.float64),
@@ -253,6 +281,8 @@ def estimate_h2(
     save_to_json: str | None = None,
     samp_prev: float | None = None,
     pop_prev: float | None = None,
+    w_ldscore: str | None = None,
+    on_device: bool = False,
 ) -> dict:
     """Estimate additive + dominance heritability (reference estimate_h2).
 
@@ -260,12 +290,19 @@ def estimate_h2(
     ``samp_prev``/``pop_prev``: case/control prevalences — when both are
     given, liability-scale h² is added to the summary (the reference
     implements the conversion but never exposes it).
+    ``w_ldscore``: optional separate regression-weight LD scores (the
+    reference forbids ``--w-ld != --ref-ld``; see estimate_h2_frames).
     """
     log.info("Reading GWAS summary statistics...")
     ss = read_sumstats(sumstats, alleles=False, dropna=True)
 
     log.info("Reading LD Scores...")
     ld, M, MD = read_ld_scores(ldscore, use_m=use_m)
+
+    w_frame = None
+    if w_ldscore is not None and w_ldscore != ldscore:
+        log.info("Reading weight LD Scores...")
+        w_frame, _, _ = read_ld_scores(w_ldscore, use_m=use_m)
 
     if chisq_max is None:
         chisq_max = max(ss["N"].max() * 1e-3, 80)
@@ -274,10 +311,10 @@ def estimate_h2(
 
     config = H2Config(n_blocks=n_blocks, intercept_h2=intercept_h2,
                       chisq_max=chisq_max, two_step=two_step,
-                      strategy=strategy, use_m=use_m)
+                      strategy=strategy, use_m=use_m, on_device=on_device)
 
     log.info("Estimating heritability...")
-    result = estimate_h2_frames(ss, ld, M, MD, config)
+    result = estimate_h2_frames(ss, ld, M, MD, config, w_ld=w_frame)
     summary = result["summary"]
 
     if samp_prev is not None and pop_prev is not None:

@@ -104,7 +104,19 @@ def test_cli_ld_and_h2(toy_bfile, tmp_path, rng):
     assert res.exit_code == 0, res.output
     assert "h2 summary" in res.output
 
-    # mismatched ref/w ld rejected
+    # a DIFFERENT --w-ld path now works in the add+dom path (the reference
+    # rejects it — nldsc/__main__.py:143-145; VERDICT r2 item 7): weights
+    # come from the w-ld file wherever the reference used its own scores
+    import shutil
+    wld = str(tmp_path / "weights.L2")
+    shutil.copy(out, wld)
+    res = runner.invoke(main, ["h2", "--sumstats", ss_path, "--ref-ld", out,
+                               "--w-ld", wld, "--n-blocks", "20",
+                               "--display"])
+    assert res.exit_code == 0, res.output
+    assert "h2 summary" in res.output
+
+    # a nonexistent w-ld path still fails cleanly
     res = runner.invoke(main, ["h2", "--sumstats", ss_path, "--ref-ld", out,
                                "--w-ld", "other"])
     assert res.exit_code != 0

@@ -1,0 +1,86 @@
+"""On-device (f32) h2 path vs the default f64-on-CPU path.
+
+TPUs have no native float64, so the on-device h2 runs in f32 with
+compensated jackknife accumulation (jackknife.py `_comp_fold0` +
+double-single delete systems).  These tests validate the numerics
+strategy: the f32 path (same code, x64 disabled) must match the f64 path
+to ≤2e-5 relative on every reported statistic (measured worst ≤9e-6
+across two-step/free/constrained/one-stg and M=400k — the residual comes
+from f32 input rounding and the QR in the IRWLS warm-up, not from
+accumulation); diagnostics with near-zero expectation (residuals.mean)
+are compared absolutely.  The CPU-vs-TPU backend difference on identical
+f32 ops is ulp-level, so CPU f32 is a faithful stand-in (the real-chip
+run is exercised via the CLI drive).
+"""
+
+import numpy as np
+import pytest
+
+from nldsc_tpu.config import H2Config
+from nldsc_tpu.h2.pipeline import estimate_h2_frames
+
+from test_h2 import synth_h2_data
+
+
+def _frames(rng, m=60000, **kw):
+    import pandas as pd
+
+    data = synth_h2_data(rng, m=m, **kw)
+    snp = np.array([f"rs{i}" for i in range(m)])
+    ss = pd.DataFrame({"SNP": snp, "Z": np.sqrt(np.ravel(data["chisq"])),
+                       "N": np.ravel(data["N"])})
+    ld = pd.DataFrame({"SNP": snp, "L2": np.ravel(data["ld"]),
+                       "L2D": np.ravel(data["ldd"])})
+    return ss, ld, int(data["M"][0, 0]), int(data["MD"][0, 0])
+
+
+def _run(ss, ld, M, MD, on_device, **kw):
+    cfg = H2Config(n_blocks=200, chisq_max=1e9, on_device=on_device, **kw)
+    return estimate_h2_frames(ss, ld, M, MD, cfg)["summary"]
+
+
+def _compare(f64, f32, rtol=2e-5):
+    for part in ("additive", "dominant"):
+        for key, val in f64[part].items():
+            mine = f32[part][key]
+            if isinstance(val, bool):
+                assert mine == val, (part, key)
+            else:
+                # atol guards near-zero diagnostics (residuals.mean has
+                # expectation 0, so its relative error is meaningless)
+                np.testing.assert_allclose(
+                    np.float64(mine), np.float64(val), rtol=rtol,
+                    atol=1e-6, err_msg=f"{part}.{key}")
+
+
+@pytest.mark.parametrize("mode", ["two_step", "free", "constrained"])
+def test_ondevice_matches_f64(mode):
+    rng = np.random.default_rng(501)
+    ss, ld, M, MD = _frames(rng, h2_add=0.35, h2_dom=0.03, n_gwas=20000.0)
+    kw = {"two_step": 30} if mode == "two_step" else (
+        {"intercept_h2": 1.0} if mode == "constrained" else {"two_step": None})
+    f64 = _run(ss, ld, M, MD, on_device=False, **kw)
+    f32 = _run(ss, ld, M, MD, on_device=True, **kw)
+    _compare(f64, f32)
+
+
+def test_ondevice_one_stage():
+    rng = np.random.default_rng(502)
+    ss, ld, M, MD = _frames(rng, m=40000, h2_add=0.3, h2_dom=0.02,
+                            n_gwas=15000.0)
+    f64 = _run(ss, ld, M, MD, on_device=False, strategy="one-stg")
+    f32 = _run(ss, ld, M, MD, on_device=True, strategy="one-stg")
+    for key, val in f64["joint"].items() if "joint" in f64 else ():
+        np.testing.assert_allclose(np.float64(f32["joint"][key]),
+                                   np.float64(val), rtol=1e-6, atol=1e-10)
+    _compare(f64, f32)
+
+
+def test_ondevice_large_m_accumulation():
+    """Large M stresses the accumulation error the compensation targets."""
+    rng = np.random.default_rng(503)
+    ss, ld, M, MD = _frames(rng, m=400000, h2_add=0.4, h2_dom=0.02,
+                            n_gwas=50000.0)
+    f64 = _run(ss, ld, M, MD, on_device=False, two_step=30)
+    f32 = _run(ss, ld, M, MD, on_device=True, two_step=30)
+    _compare(f64, f32)
