@@ -173,6 +173,33 @@ def _packed_has_missing(raw: np.ndarray, n_samples: int) -> bool:
     return bool(_MISS_LUT[raw[:, -1], tail_pairs].any())
 
 
+def packed_rowmiss(raw: np.ndarray, n_samples: int) -> np.ndarray:
+    """Per-row missing flags from packed 2-bit rows (bool (rows,)).
+
+    The split-missing engines key on which SNP rows actually carry
+    missing genotypes; this is one LUT pass over the raw bytes — no
+    decode (pad bitpairs in the last byte are ignored)."""
+    tail_pairs = n_samples - (raw.shape[1] - 1) * 4
+    out = _MISS_LUT[raw[:, -1], tail_pairs].copy()
+    if raw.shape[1] > 1:
+        out |= _MISS_LUT[raw[:, :-1], 4].any(axis=1)
+    return out
+
+
+def scan_rowmiss(bed, block_rows: int = 65536) -> np.ndarray:
+    """Per-row missing flags for a whole .bed, read in slices (bool (m,)).
+
+    One sequential pass over the file bytes — cheap even out-of-core,
+    and what lets the streaming driver pick the split-missing engine
+    before any chunk is dispatched."""
+    m = bed.n_snp
+    out = np.zeros(m, dtype=bool)
+    for s in range(0, m, block_rows):
+        c = min(block_rows, m - s)
+        out[s:s + c] = packed_rowmiss(bed.read_raw(s, c).raw, bed.n_samples)
+    return out
+
+
 @dataclass
 class PackedBed:
     """Un-decoded SNP-major .bed rows (device-decode input)."""

@@ -374,6 +374,54 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     m_ext = n_chunks * chunk_rows
     band_rows = chunk_rows + (1 if symmetric else 2) * halo
     lead = 0 if symmetric else halo   # rows of band before the pivots
+    use_packed = hasattr(bed, "read_raw")
+
+    # --- split-missing selection (same policy as the in-core pipeline):
+    # one LUT pass over the .bed bytes finds which rows actually carry
+    # missing genotypes; when they are a minority, every chunk runs the
+    # clean 3-matmul pass + compact exact corrections instead of the
+    # global 8-matmul epilogue
+    split_plans = None
+    split_pi = split_pj = 0
+    if (symmetric and annot is None and sample_mesh is None and use_packed
+            and config.split_missing is not False):
+        from ..io.plink import scan_rowmiss  # noqa: PLC0415
+        from .ld_split import plan_missing_compaction  # noqa: PLC0415
+
+        rowmiss_all = scan_rowmiss(bed)
+        frac = float(rowmiss_all.mean())
+        want = (config.split_missing if config.split_missing is not None
+                else 0.0 < frac <= 0.25)
+        if want and rowmiss_all.any():
+            rm_pad = np.zeros(m_ext, dtype=bool)
+            rm_pad[:m] = rowmiss_all
+            n_pb = chunk_rows // B
+            raw_plans = []
+            for ci in range(n_chunks):
+                rb = np.zeros(band_rows, dtype=bool)
+                r0c = ci * chunk_rows
+                r1c = min(r0c + band_rows, m_ext)
+                rb[: r1c - r0c] = rm_pad[r0c:r1c]
+                raw_plans.append(
+                    (rb, plan_missing_compaction(rb, B, right_k, n_pb,
+                                                 band_rows)))
+            # one compile across chunks: pad every plan to the run maxima
+            split_pi = max(p["pi"] for _, p in raw_plans)
+            split_pj = max(p["pj"] for _, p in raw_plans)
+            mm = max(p["n_miss"] for _, p in raw_plans) + max(split_pi,
+                                                              split_pj)
+            split_plans = []
+            for rb, p in raw_plans:
+                mi = np.full(mm, band_rows - 1, dtype=np.int32)
+                mi[: p["n_miss"]] = p["miss_idx"][: p["n_miss"]]
+                split_plans.append({"rowmiss": rb, "miss_idx": mi,
+                                    "piv_start": p["piv_start"],
+                                    "piv_cnt": p["piv_cnt"],
+                                    "band_start": p["band_start"],
+                                    "band_cnt": p["band_cnt"]})
+            log.info("Split-missing streaming engine: %.2f%% contaminated "
+                     "rows (Pi=%d, Pj=%d)", 100.0 * frac, split_pi,
+                     split_pj)
 
     def pad_meta(a, fill):
         return np.concatenate(
@@ -426,7 +474,8 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                 "maf_thr": float(config.maf_thr),
                 "std_thr": float(config.std_thr),
                 "rsq_thr": float(config.rsq_thr),
-                "engine": "sym" if symmetric else "full",
+                "engine": ("sym-split" if split_plans is not None
+                           else "sym" if symmetric else "full"),
                 "annot_p": -1 if annot is None else annot.shape[1],
                 "dot_dtype": config.int8_dot_dtype if use_int8 else "f32",
                 "bed_path": os.path.abspath(getattr(bed, "path", "")),
@@ -475,7 +524,6 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     # packed (2-bit) band ingestion: ship raw .bed bytes and unpack on
     # device — 4× less host→device transfer than int8 codes, and the
     # band transfer is the streaming engine's main non-compute cost
-    use_packed = hasattr(bed, "read_raw")
     # sample sharding needs the byte columns to split evenly into
     # 128-sample (32-byte) lanes per shard; padding bytes are 0x55
     # (missing bitpairs) and the device unpack masks them anyway
@@ -576,6 +624,20 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                 band_dev(), dev_put(pos_ok_band),
                 jnp.float32(config.maf_thr), n_samples=n)
             dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
+            if split_plans is not None:
+                from .ld_split import banded_chunk_int8_split  # noqa: PLC0415
+
+                pl = split_plans[ci]
+                accs = banded_chunk_int8_split(
+                    pre, dom_ok, dev_put(lo_pad[p0:p1]),
+                    dev_put(hi_pad[p0:p1]), jnp.int32(p0), jnp.int32(m_pad),
+                    jnp.float32(config.rsq_thr), dev_put(pl["rowmiss"]),
+                    dev_put(pl["miss_idx"]), dev_put(pl["piv_start"]),
+                    dev_put(pl["piv_cnt"]), dev_put(pl["band_start"]),
+                    dev_put(pl["band_cnt"]), block_size=B, right_k=right_k,
+                    n_samples=n, n_piv_blocks=n_piv_blocks, pi=split_pi,
+                    pj=split_pj, dot_dtype=config.int8_dot_dtype)
+                return pre, accs
             accs = _banded_chunk_int8_sym(
                 pre, dom_ok, dev_put(lo_pad[p0:p1]), dev_put(hi_pad[p0:p1]),
                 jnp.int32(p0), jnp.int32(m_pad), jnp.float32(config.rsq_thr),

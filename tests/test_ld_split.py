@@ -85,6 +85,71 @@ def test_split_adversarial_rows(rng):
     assert_ld_parity(res, ora)
 
 
+def test_split_streaming_matches_dense_and_oracle(tmp_path, rng):
+    """Out-of-core split engine (banded_chunk_int8_split): row-sparse
+    missing data auto-selects it; results match the in-core split engine
+    and the oracle, across chunk sizes (incl. halo > chunk)."""
+    from nldsc_tpu.io.plink import BedReader, write_plink
+    from nldsc_tpu.ld.streaming import compute_ld_scores_streaming
+
+    m, n = 400, 180
+    g = row_level_missing(rng, m, n, row_frac=0.05, entry_rate=0.2)
+    pos = make_positions(m, spacing=600, jitter_rng=rng)
+    prefix = write_plink(tmp_path / "sp", g, bp=pos.astype(np.int64))
+    bed = BedReader(prefix + ".bed", m, n)
+    cfg = make_config(block_size=16, ld_wind=8000)
+    dense = compute_ld_scores(g, pos.astype(np.float64), cfg)
+    ora = oracle_ld(g, pos, cfg.ld_wind, cfg.maf_thr, cfg.std_thr,
+                    cfg.rsq_thr)
+    for chunk in (64, 128):
+        res = compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg,
+                                          chunk_rows=chunk)
+        assert_ld_parity(res, ora)
+        for k in ("l2_ws", "l2d_ws", "l2d_wse"):
+            np.testing.assert_array_equal(res[k], dense[k],
+                                          err_msg=f"{k}@{chunk}")
+        np.testing.assert_allclose(res["l2"], dense["l2"], rtol=1e-5,
+                                   atol=1e-5, equal_nan=True)
+        np.testing.assert_allclose(res["l2d"], dense["l2d"], rtol=1e-5,
+                                   atol=1e-5, equal_nan=True)
+
+
+def test_split_streaming_resume(tmp_path, rng):
+    """Split-mode streaming checkpoints/resumes like the global engine,
+    and a checkpoint written by the global engine refuses to resume under
+    split (engine name pinned in the meta)."""
+    from nldsc_tpu.io.plink import BedReader, write_plink
+    from nldsc_tpu.ld.streaming import compute_ld_scores_streaming
+
+    m, n = 320, 150
+    g = row_level_missing(rng, m, n, row_frac=0.04, entry_rate=0.25)
+    pos = make_positions(m, spacing=700, jitter_rng=rng)
+    prefix = write_plink(tmp_path / "spr", g, bp=pos.astype(np.int64))
+    bed = BedReader(prefix + ".bed", m, n)
+    cfg = make_config(block_size=16, ld_wind=6000)
+    resume = str(tmp_path / "ck")
+    full = compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg,
+                                       chunk_rows=64, resume_path=resume)
+    import os
+    shards = sorted(f for f in os.listdir(resume) if f.startswith("chunk_"))
+    assert len(shards) >= 3
+    for f in shards[-2:]:
+        os.remove(os.path.join(resume, f))
+    resumed = compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg,
+                                          chunk_rows=64, resume_path=resume)
+    for k in ("l2", "l2d"):
+        np.testing.assert_allclose(resumed[k], full[k], rtol=1e-6,
+                                   atol=1e-6, equal_nan=True)
+    for k in ("l2_ws", "l2d_ws", "l2d_wse"):
+        np.testing.assert_array_equal(resumed[k], full[k], err_msg=k)
+
+    # a global-engine checkpoint must refuse under the split engine
+    cfg_glob = make_config(block_size=16, ld_wind=6000, split_missing=False)
+    with pytest.raises(ValueError, match="different parameters"):
+        compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg_glob,
+                                    chunk_rows=64, resume_path=resume)
+
+
 def test_split_unusable_contaminated_rows_only(rng):
     """Missing confined to MAF-dropped rows: clean epilogue is exact and
     the pipeline must notice (use_missing demotion path)."""
