@@ -23,9 +23,20 @@ def reweigh(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 
 def wls(x: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Weighted least squares; returns the coefficient column (p, 1)."""
+    """Weighted least squares; returns the coefficient column (p, 1).
+
+    f64 (the default CPU path) uses QR ``lstsq`` like the reference; f32
+    (the on-device path) solves the normal equations with the
+    decomposition-free closed form instead — accelerator backends may
+    lack fast small-matrix QR (on the axon dev runtime the remote QR
+    compile took ~20 min), and the 2–3-column LD-score systems are
+    well-conditioned enough that the difference vs QR is below the
+    on-device parity tolerance (tests/test_h2_ondevice.py).
+    """
     xw = reweigh(x, w)
     yw = reweigh(y, w)
+    if xw.dtype == jnp.float32:
+        return jk.solve_posdef(xw.T @ xw, xw.T @ yw)
     return jnp.linalg.lstsq(xw, yw)[0]
 
 

@@ -50,6 +50,46 @@ def _comp_fold0(xb):
     return hi, lo
 
 
+def solve_posdef(a, b):
+    """Solve a @ x = b for batched small SPD systems.
+
+    For p ≤ 3 uses the closed-form adjugate — pure elementwise arithmetic,
+    no LU/QR decomposition op.  That is what makes the f32 ON-DEVICE h2
+    path portable: accelerator backends may lack (or mis-handle) small
+    f32 decompositions, while Cramer on the well-conditioned 2–3-column
+    LD-score systems is as accurate as LU.  Falls back to
+    ``jnp.linalg.solve`` for larger p (partitioned h2 stays on CPU/f64).
+
+    a: (..., p, p), b: (..., p, 1) → (..., p, 1).
+    """
+    p = a.shape[-1]
+    if p == 1:
+        return b / a[..., :1, :]
+    if p == 2:
+        det = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+        x0 = (a[..., 1, 1] * b[..., 0, 0] - a[..., 0, 1] * b[..., 1, 0])
+        x1 = (a[..., 0, 0] * b[..., 1, 0] - a[..., 1, 0] * b[..., 0, 0])
+        return jnp.stack([x0, x1], axis=-1)[..., None] / det[..., None, None]
+    if p == 3:
+        c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
+        c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
+        c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
+        det = (a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02)
+        c10 = a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2]
+        c11 = a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0]
+        c12 = a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1]
+        c20 = a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]
+        c21 = a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]
+        c22 = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+        adj = jnp.stack([
+            jnp.stack([c00, c10, c20], axis=-1),
+            jnp.stack([c01, c11, c21], axis=-1),
+            jnp.stack([c02, c12, c22], axis=-1),
+        ], axis=-2)
+        return (adj @ b) / det[..., None, None]
+    return jnp.linalg.solve(a, b)
+
+
 @dataclass
 class JackknifeResult:
     est: jnp.ndarray            # (1, p) whole-data estimate
@@ -116,18 +156,21 @@ def lstsq_jackknife_fast(x: jnp.ndarray, y: jnp.ndarray,
     if x.dtype == jnp.float32:
         # on-device (f32) path: compensated block→total fold; the
         # totals−block systems are formed in double-single so the
-        # subtraction does not re-round an already-rounded total
+        # subtraction does not re-round an already-rounded total; solves
+        # via the decomposition-free closed form (solve_posdef)
         xtx_hi, xtx_lo = _comp_fold0(xtx_b)
         xty_hi, xty_lo = _comp_fold0(xty_b)
         xtx = xtx_hi + xtx_lo
         xty = xty_hi + xty_lo
         xtx_del = (xtx_hi - xtx_b) + xtx_lo
         xty_del = (xty_hi - xty_b) + xty_lo
-    else:
-        xtx = jnp.sum(xtx_b, axis=0)
-        xty = jnp.sum(xty_b, axis=0)
-        xtx_del = xtx[None] - xtx_b
-        xty_del = xty[None] - xty_b
+        est = solve_posdef(xtx, xty[:, None]).reshape(1, p)
+        delete = solve_posdef(xtx_del, xty_del[..., None]).reshape(nb, p)
+        return _result(est, delete, separators)
+    xtx = jnp.sum(xtx_b, axis=0)
+    xty = jnp.sum(xty_b, axis=0)
+    xtx_del = xtx[None] - xtx_b
+    xty_del = xty[None] - xty_b
     est = jnp.linalg.solve(xtx, xty[:, None]).reshape(1, p)
     delete = jnp.linalg.solve(xtx_del, xty_del[..., None]).reshape(nb, p)
     return _result(est, delete, separators)
