@@ -154,6 +154,69 @@ def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
         click.echo(df.to_string(max_rows=40))
 
 
+@main.command("ld-genome",
+              help="Run `ld` over MANY single-chromosome bfiles (glob or "
+                   "comma list), one .L2 per bfile. In a multi-host job "
+                   "(jax.distributed) the chromosomes round-robin over "
+                   "hosts — the job-level scale-out matching the "
+                   "reference's one-file-per-chromosome model")
+@click.option("--bfiles", metavar="GLOB", required=True,
+              help="Glob or comma-separated list of bfile prefixes (or "
+                   "paths to their .bed files)")
+@click.option("--out-dir", metavar="DIR", required=True,
+              help="Directory for the per-chromosome .L2/.M outputs "
+                   "(named <prefix-basename>.L2)")
+@click.option("-kb", "--ld-wind-kb", metavar="W", type=float,
+              help="Window size in kilo-base pairs (kb)")
+@click.option("-cm", "--ld-wind-cm", metavar="W", type=float,
+              help="Window size in centi-morgans (cM)")
+@click.option("-maf", "--maf-thr", metavar="F", type=float, default=1e-5)
+@click.option("-std", "--std-thr", metavar="F", type=float, default=1e-4)
+@click.option("-rsq", "--rsq-thr", metavar="F", type=float, default=None)
+@click.option("--extra", is_flag=True, default=False,
+              help="Include MAF WSA WSD WSDE RSTD columns")
+@click.option("--streaming/--no-streaming", "streaming", default=None,
+              help="Force the out-of-core engine on/off (default: auto)")
+@click.option("--chunk-rows", metavar="R", type=int, default=8192)
+@click.option("--display", is_flag=True, default=False,
+              help="Display traceback")
+@handle_exception
+def est_ld_genome(bfiles, out_dir, ld_wind_kb, ld_wind_cm, maf_thr,
+                  std_thr, rsq_thr, extra, streaming, chunk_rows):
+    import glob as globmod  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import re  # noqa: PLC0415
+
+    if sum(map(bool, [ld_wind_kb, ld_wind_cm])) != 1:
+        raise RuntimeError("Please, specify exactly one --ld-wind option")
+    wind_metric, ld_wind = (("kbp", ld_wind_kb) if ld_wind_kb
+                            else ("cm", ld_wind_cm))
+
+    if "," in bfiles:
+        paths = [p.strip() for p in bfiles.split(",") if p.strip()]
+    else:
+        paths = sorted(globmod.glob(bfiles)) or [bfiles]
+    prefixes = sorted({re.sub(r"\.(bed|bim|fam)$", "", p) for p in paths})
+    if not prefixes:
+        raise RuntimeError(f"No bfiles match {bfiles!r}")
+
+    from .ld.pipeline import estimate_lds  # noqa: PLC0415
+    from .parallel.distributed import assign_chromosomes  # noqa: PLC0415
+
+    mine = assign_chromosomes(prefixes)
+    os.makedirs(out_dir, exist_ok=True)
+    log.info("ld-genome: %d bfiles total, %d on this host", len(prefixes),
+             len(mine))
+    for i, prefix in enumerate(mine):
+        out = os.path.join(out_dir, os.path.basename(prefix) + ".L2")
+        log.info("[%d/%d] %s -> %s", i + 1, len(mine), prefix, out)
+        estimate_lds(prefix, ld_wind=ld_wind, wind_metric=wind_metric,
+                     maf_thr=maf_thr, std_thr=std_thr, rsq_thr=rsq_thr,
+                     out=out, extra=extra, streaming=streaming,
+                     chunk_rows=chunk_rows)
+    log.info("ld-genome: %d chromosomes done", len(mine))
+
+
 @main.command("h2", help="Estimate additive and non-additive heritability")
 @click.option("--sumstats", metavar="FILE", required=True,
               help="Path to the GWAS sumstats file")

@@ -230,3 +230,46 @@ def test_cli_engine_flags(tmp_path, rng):
             np.testing.assert_allclose(
                 df[col], base[col], rtol=1e-4, atol=1e-4,
                 equal_nan=True, err_msg=f"{name}:{col}")
+
+
+def test_cli_ld_genome(tmp_path, rng):
+    """ld-genome: many single-chromosome bfiles -> one .L2 each, matching
+    per-file `ld` runs; glob and comma-list inputs."""
+    from click.testing import CliRunner
+
+    from nldsc_tpu.cli import main
+    from nldsc_tpu.io.plink import write_plink
+    from nldsc_tpu.ld.pipeline import estimate_lds
+
+    prefixes = []
+    for chrom in (20, 21):
+        m = 120
+        g = random_genotypes(rng, m, 90, missing_rate=0.02)
+        bp = make_positions(m, spacing=700).astype(np.int64)
+        p = str(tmp_path / f"chr{chrom}")
+        write_plink(p, g, bp=bp, chrom=chrom)
+        prefixes.append(p)
+
+    runner = CliRunner()
+    out_dir = str(tmp_path / "out")
+    res = runner.invoke(main, ["ld-genome", "--bfiles",
+                               str(tmp_path / "chr2*"), "--out-dir", out_dir,
+                               "-kb", "30", "-maf", "0.01", "--display"])
+    assert res.exit_code == 0, res.output
+    for p in prefixes:
+        import os
+        out = os.path.join(out_dir, os.path.basename(p) + ".L2")
+        got = pd.read_csv(out, sep="\t")
+        ref = estimate_lds(p, ld_wind=30, wind_metric="kbp", maf_thr=0.01)
+        np.testing.assert_allclose(got["L2"], ref["L2"].round(5),
+                                   atol=1e-5, equal_nan=True)
+
+    # comma list form + window-option validation
+    res = runner.invoke(main, ["ld-genome", "--bfiles",
+                               ",".join(prefixes), "--out-dir",
+                               str(tmp_path / "out2"), "-kb", "30",
+                               "-maf", "0.01", "--display"])
+    assert res.exit_code == 0, res.output
+    res = runner.invoke(main, ["ld-genome", "--bfiles", prefixes[0],
+                               "--out-dir", out_dir])
+    assert res.exit_code != 0
