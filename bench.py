@@ -130,16 +130,20 @@ def tpu_pass(has_missing=False, row_missing=False):
                 dot_dtype="int8")
         return out[0]
 
-    g_warm = gen(jax.random.PRNGKey(1))
-    g_time = gen(jax.random.PRNGKey(2))
-    np.asarray(g_warm[:1, :1])                # force generation
-    np.asarray(g_time[:1, :1])
-    np.asarray(full_pass(g_warm))             # compile + warm
-    t0 = time.time()
-    l2 = np.asarray(full_pass(g_time))        # timed: 1 dispatch + fetch
-    dt = time.time() - t0
-    assert np.isfinite(l2).sum() > m_total * 0.9
-    return dt, m_total
+    # min over three DISTINCT timed inputs: the tunneled runtime's
+    # run-to-run drift is up to 4x, and the min tracks true device time
+    # (identical calls are memoized, so every rep must differ)
+    gs = [gen(jax.random.PRNGKey(k)) for k in range(4)]
+    for g_dev in gs:
+        np.asarray(g_dev[:1, :1])             # force generation
+    np.asarray(full_pass(gs[0]))              # compile + warm
+    dts = []
+    for g_dev in gs[1:]:
+        t0 = time.time()
+        l2 = np.asarray(full_pass(g_dev))     # timed: 1 dispatch + fetch
+        dts.append(time.time() - t0)
+        assert np.isfinite(l2).sum() > m_total * 0.9
+    return min(dts), m_total
 
 
 def e2e_bfile_to_l2(g_warm, g, pos):

@@ -194,11 +194,19 @@ def est_ld_genome(bfiles, out_dir, ld_wind_kb, ld_wind_cm, maf_thr,
 
     if "," in bfiles:
         paths = [p.strip() for p in bfiles.split(",") if p.strip()]
+    elif globmod.has_magic(bfiles):
+        paths = sorted(globmod.glob(bfiles))
+        if not paths:
+            raise RuntimeError(f"No bfiles match {bfiles!r}")
     else:
-        paths = sorted(globmod.glob(bfiles)) or [bfiles]
+        paths = [bfiles]
     prefixes = sorted({re.sub(r"\.(bed|bim|fam)$", "", p) for p in paths})
-    if not prefixes:
-        raise RuntimeError(f"No bfiles match {bfiles!r}")
+    names = [os.path.basename(p) for p in prefixes]
+    if len(set(names)) != len(names):
+        dups = sorted({n for n in names if names.count(n) > 1})
+        raise RuntimeError(
+            "bfile prefixes with identical basenames would overwrite each "
+            f"other's outputs in --out-dir: {dups}")
 
     from .ld.pipeline import estimate_lds  # noqa: PLC0415
     from .parallel.distributed import assign_chromosomes  # noqa: PLC0415

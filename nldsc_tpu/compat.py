@@ -66,9 +66,11 @@ def calculate(params: LDScoreParams, **engine_kwargs) -> LDScoreResult:
     # the whole dense working set in HBM (same policy as estimate_lds)
     from .ld.pipeline import STREAMING_BYTES_THRESHOLD  # noqa: PLC0415
 
-    # int8 default engine: g/m/h int8 copies (same estimate as the
-    # pipeline's auto-streaming rule)
-    dense_bytes = 3 * params.n_snp * (-(-params.n_org // 128) * 128)
+    # same estimate as the pipeline's auto-streaming rule: int8 engines
+    # hold g/m/h int8 copies, f32 engines hold add/res f32 rows
+    use_int8 = engine_kwargs.get("use_int8")
+    bpe = 3 if (use_int8 is None or use_int8) else 8
+    dense_bytes = bpe * params.n_snp * (-(-params.n_org // 128) * 128)
     if dense_bytes > STREAMING_BYTES_THRESHOLD:
         from .ld.streaming import compute_ld_scores_streaming  # noqa: PLC0415
 

@@ -686,7 +686,11 @@ def sym_scan_segment(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
         # per-pair semantics).  precision 'high' (bf16_3x): the default
         # TPU matmul would round the adjusted r² operand to one bf16 pass
         # (~5e-3 on the sums); three passes recover ~f32 accuracy at half
-        # the cost of 'highest' — measured 34%→? annot overhead at p=4.
+        # the cost of 'highest'.  Measured (min-of-reps, p=4, 131k SNPs):
+        # plain 58.9 ms, sym+annot 91.3 ms, full-band+annot 71.0 ms —
+        # these contractions sit on the scan's critical path, which is
+        # why in-core annot routes full-band (pipeline.py) and this
+        # symmetric variant serves the streaming driver.
         # Column direction contracts over the PIVOT axis via dot_general
         # (no materialized transpose of the (B, right_rows) tiles).
         l2a_f, l2da_f = carry[6:]

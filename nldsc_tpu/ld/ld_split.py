@@ -64,7 +64,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .ld_int8 import corr_from_dots, scal_views
+from .ld_int8 import corr_from_dots, make_idot, scal_views
 from .ld_xla import finalize_outputs
 
 
@@ -115,20 +115,8 @@ def plan_missing_compaction(rowmiss: np.ndarray, block_size: int,
             "n_miss": len(miss)}
 
 
-def _idot_pair(dot_dtype: str):
-    """(B, N) x (K, N) -> (B, K) exact integer contraction."""
-    dims = (((1,), (1,)), ((), ()))
-    if dot_dtype == "int8":
-        def idot(x, y):
-            return lax.dot_general(
-                x, y, dims,
-                preferred_element_type=jnp.int32).astype(jnp.float32)
-    else:
-        def idot(x, y):
-            return lax.dot_general(
-                x.astype(jnp.bfloat16), y.astype(jnp.bfloat16), dims,
-                preferred_element_type=jnp.float32)
-    return idot
+#: the exact-integer contraction primitive is shared with ld_int8
+_idot_pair = make_idot
 
 
 def _compact_dots(idot, g_a, m_a, h_a, g_b, m_b, h_b, small_side: str):
@@ -195,7 +183,11 @@ def sym_scan_segment_split(g, m, h, scal, lo, hi, usable, dom_ok,
     i32 = jnp.int32
 
     # one-time compaction of the contaminated rows (scan uses contiguous
-    # slices of these — the compact order IS the global row order)
+    # slices of these — the compact order IS the global row order).  The
+    # gather re-runs per SEGMENT on the progress path; at the 25% auto
+    # threshold that is ≤ a few GB of extra HBM reads per whole pass —
+    # negligible next to the banded matmuls, so the segment API stays
+    # self-contained instead of threading 8 compact arrays through it.
     g_c = jnp.take(g, miss_idx, axis=0)
     m_c = jnp.take(m, miss_idx, axis=0)
     h_c = jnp.take(h, miss_idx, axis=0)

@@ -273,3 +273,25 @@ def test_cli_ld_genome(tmp_path, rng):
     res = runner.invoke(main, ["ld-genome", "--bfiles", prefixes[0],
                                "--out-dir", out_dir])
     assert res.exit_code != 0
+
+    # a glob matching nothing must fail up front (handle_exception logs
+    # the "No bfiles match" reason to the stderr logger and exits 1 —
+    # CliRunner can't see that stream, so assert the exit + no outputs)
+    out3 = str(tmp_path / "out3")
+    res = runner.invoke(main, ["ld-genome", "--bfiles",
+                               str(tmp_path / "nope*"), "--out-dir",
+                               out3, "-kb", "30"])
+    import os
+    assert res.exit_code != 0 and not os.path.isdir(out3)
+
+    # ... and identical basenames in different dirs must refuse rather
+    # than silently overwrite outputs (exits before writing anything)
+    sub = tmp_path / "b2"
+    sub.mkdir()
+    import shutil
+    for ext in (".bed", ".bim", ".fam"):
+        shutil.copy(prefixes[0] + ext, str(sub / ("chr20" + ext)))
+    res = runner.invoke(main, ["ld-genome", "--bfiles",
+                               f"{prefixes[0]},{sub / 'chr20'}",
+                               "--out-dir", out3, "-kb", "30"])
+    assert res.exit_code != 0 and not os.path.isdir(out3)
