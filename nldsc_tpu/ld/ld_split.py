@@ -13,34 +13,25 @@ proportional to that minority:
       touching a contaminated row it produces a deterministic wrong value
       that pass 2 cancels.
 
-  pass 2 (same pivot block, fused into the same scan step) — exact
-      corrections ``δ = adj(r_exact) − adj(r_clean)`` for every pair with
-      a contaminated member, against COMPACTED contaminated rows:
+  pass 2 — exact corrections ``δ = adj(r_exact) − adj(r_clean)`` for
+      every pair with a contaminated member, against COMPACTED
+      contaminated rows.  Two forms live here:
 
-        (a) any pivot row × contaminated band rows   (≤ Pj per block)
-        (b) contaminated pivot rows × clean band rows (≤ Pi per block)
-
-      Disjoint cover: (a) takes every pair whose *neighbor* is
-      contaminated; (b) takes the rest (contaminated pivot, clean
-      neighbor).
-
-Performance structure (what keeps pass 2 cheap on the MXU/VPU):
-
-  * contaminated rows are gathered ONCE into compact (Mm, N) matrices
-    before the scan; each block's compact pivots/band rows are then
-    CONTIGUOUS ranges of those (the compact order is the global row
-    order), so the scan uses only ``dynamic_slice`` — no per-step gathers;
-  * each correction side needs 8 exact S-matrices; stacking the *small*
-    operand computes them in 3 matmul launches with zero wasted flops
-    (e.g. side (a): ``g_i × [g|m|h]_jc``, ``m_i × [g|m|h]_jc``,
-    ``h_i × [g|m]_jc``);
-  * compact-row credits accumulate in compact-length carries via
-    contiguous ``dynamic_update_slice`` and are scattered into the full
-    vectors ONCE after the scan.
-
-Flop model per tile (B pivot rows, W band rows, Pi/Pj compact widths):
-``3·B·W + 8·B·Pj + 8·Pi·W`` vs the global missing engine's ``8·B·W`` —
-at 2% contaminated rows ≈ 1.2× the clean pass instead of 2.7×.
+      * IN-CORE (:func:`split_corrections`, the v2 SEGMENTED form used
+        by the pipeline): all ordered pairs (x, contaminated c) are
+        enumerated with x swept in LARGE row segments, so each big
+        operand is read once per segment — for x CLEAN the m_x-side
+        dots collapse analytically (smg = smh = 0, smm = the padding
+        overlap constant), leaving TWO big launches per segment plus a
+        tiny compact product for the contaminated-x rows.  Measured on
+        hardware this beats both the per-block v1 form and the global
+        8-matmul engine at every tested scale (PERFORMANCE.md).
+      * STREAMING (:func:`banded_chunk_int8_split`): per-pivot-block
+        compact corrections fused into the chunk scan — contaminated
+        rows are gathered once, each block's compact pivots/band rows
+        are CONTIGUOUS ranges of the compact arrays, and the 8 compact
+        S-matrices per side come from 3 stacked matmul launches
+        (:func:`_compact_dots`).
 
 Exactness: contaminated-pair values come from the SAME exact integer
 S-matrices as the global engine (bitwise-identical adjusted r²), so the
@@ -151,259 +142,6 @@ def _compact_dots(idot, g_a, m_a, h_a, g_b, m_b, h_b, small_side: str):
 
 
 @partial(jax.jit, static_argnames=("block_size", "right_k", "n_samples",
-                                   "n_scan_blocks", "pi", "pj", "dot_dtype",
-                                   "parts"))
-def sym_scan_segment_split(g, m, h, scal, lo, hi, usable, dom_ok,
-                           add_sd_zero, rowmiss, rsq_thr, blk0,
-                           miss_idx, piv_start, piv_cnt, band_start,
-                           band_cnt, *, block_size: int, right_k: int,
-                           n_samples: int, n_scan_blocks: int, pi: int,
-                           pj: int, dot_dtype: str = "int8",
-                           parts: str = "ab"):
-    """Split-missing credit accumulation for pivot blocks
-    ``[blk0, blk0 + n_scan_blocks)``.
-
-    Same contract as :func:`nldsc_tpu.ld.ld_int8.sym_scan_segment`:
-    returns the six UN-finalized full-length credit vectors (l2, ws,
-    poison, l2d, wsd, wse); segments tile the block range disjointly.
-
-    ``parts``: which correction sides run — 'ab' (default, exact), or a
-    subset for cost ablation/tuning ('a', 'b', ''): results are then
-    intentionally WRONG for the skipped pairs.
-    """
-    m_pad, n_pad_cols = g.shape
-    assert n_pad_cols <= (1 << 22)
-    B = block_size
-    right_rows = min(right_k * B, m_pad)
-    mm_pad = miss_idx.shape[0]
-    n = jnp.float32(n_samples)
-    n_padf = jnp.float32(n_pad_cols)
-    adj_c = (n - 1.0) / (n - 2.0)
-    idot = _idot_pair(dot_dtype)
-    i32 = jnp.int32
-
-    # one-time compaction of the contaminated rows (scan uses contiguous
-    # slices of these — the compact order IS the global row order).  The
-    # gather re-runs per SEGMENT on the progress path; at the 25% auto
-    # threshold that is ≤ a few GB of extra HBM reads per whole pass —
-    # negligible next to the banded matmuls, so the segment API stays
-    # self-contained instead of threading 8 compact arrays through it.
-    g_c = jnp.take(g, miss_idx, axis=0)
-    m_c = jnp.take(m, miss_idx, axis=0)
-    h_c = jnp.take(h, miss_idx, axis=0)
-    scal_c = jnp.take(scal, miss_idx, axis=0)
-    usable_c = jnp.take(usable, miss_idx)
-    dom_ok_c = jnp.take(dom_ok, miss_idx)
-    lo_c = jnp.take(lo, miss_idx)
-    hi_c = jnp.take(hi, miss_idx)
-
-    def sl(v, at, size):
-        return lax.dynamic_slice_in_dim(v, at, size)
-
-    def adj(r):
-        return 1.0 - (1.0 - r * r) * adj_c
-
-    def credit(full, at, vals):
-        cur = lax.dynamic_slice_in_dim(full, at, vals.shape[0])
-        return lax.dynamic_update_slice_in_dim(full, cur + vals, at, 0)
-
-    def step(carry, b):
-        (l2_f, ws_f, poi_f, l2d_f, wsd_f, wse_f,
-         l2_cf, l2d_cf, wse_cf) = carry
-        r0 = b * B
-        gi = r0 + jnp.arange(B, dtype=i32)
-        g_i = lax.dynamic_slice_in_dim(g, r0, B, axis=0)
-        m_i = lax.dynamic_slice_in_dim(m, r0, B, axis=0)
-        h_i = lax.dynamic_slice_in_dim(h, r0, B, axis=0)
-        lo_i = sl(lo, r0, B)[:, None]
-        hi_i = sl(hi, r0, B)[:, None]
-        usable_i = sl(usable, r0, B)[:, None]
-        poison_i = sl(add_sd_zero, r0, B)[:, None]
-        dom_ok_i = sl(dom_ok, r0, B)[:, None]
-        sc_i = scal_views(lax.dynamic_slice_in_dim(scal, r0, B, axis=0),
-                          "col")
-
-        j0 = jnp.minimum(r0, m_pad - right_rows)
-        gj = j0 + jnp.arange(right_rows, dtype=i32)
-        g_j = lax.dynamic_slice_in_dim(g, j0, right_rows, axis=0)
-        m_j = lax.dynamic_slice_in_dim(m, j0, right_rows, axis=0)
-        h_j = lax.dynamic_slice_in_dim(h, j0, right_rows, axis=0)
-        usable_j = sl(usable, j0, right_rows)[None, :]
-        poison_j = sl(add_sd_zero, j0, right_rows)[None, :]
-        dom_ok_j = sl(dom_ok, j0, right_rows)[None, :]
-        clean_j = ~sl(rowmiss, j0, right_rows)[None, :]
-        sc_j = scal_views(
-            lax.dynamic_slice_in_dim(scal, j0, right_rows, axis=0), "row")
-
-        # ---- pass 1: clean epilogue over ALL pairs (3 matmuls) ----
-        dots = {"sgg": idot(g_i, g_j), "sgh": idot(g_i, h_j),
-                "shg": idot(h_i, g_j)}
-        r_add, r_dom_a, r_dom_b = corr_from_dots(
-            dots, sc_i, sc_j, n, n_padf, has_missing=False, symmetric=True)
-        adj_add, adj_dA, adj_dB = adj(r_add), adj(r_dom_a), adj(r_dom_b)
-
-        in_win = (gj[None, :] >= lo_i) & (gj[None, :] <= hi_i)
-        upair = in_win & usable_j & usable_i
-        fwd = gj[None, :] >= r0
-        row_base = upair & fwd & (gj[None, :] != gi[:, None])
-        col_base = upair & (gj[None, :] >= r0 + B)
-        dmA = row_base & dom_ok_j
-        dmB = col_base & dom_ok_i
-
-        l2_f = credit(credit(l2_f, r0, jnp.sum(adj_add * row_base, axis=1)),
-                      j0, jnp.sum(adj_add * col_base, axis=0))
-        ws_f = credit(
-            credit(ws_f, r0, jnp.sum(row_base, axis=1).astype(i32)),
-            j0, jnp.sum(col_base, axis=0).astype(i32))
-        poi_f = credit(
-            credit(poi_f, r0,
-                   jnp.sum(upair & fwd & poison_j, axis=1).astype(i32)),
-            j0, jnp.sum(upair & poison_i & (gj[None, :] >= r0 + B),
-                        axis=0).astype(i32))
-        l2d_f = credit(credit(l2d_f, r0, jnp.sum(adj_dA * dmA, axis=1)),
-                       j0, jnp.sum(adj_dB * dmB, axis=0))
-        wsd_f = credit(
-            credit(wsd_f, r0, jnp.sum(dmA, axis=1).astype(i32)),
-            j0, jnp.sum(dmB, axis=0).astype(i32))
-        wse_f = credit(
-            credit(wse_f, r0,
-                   jnp.sum((adj_dA > rsq_thr) & dmA, axis=1).astype(i32)),
-            j0, jnp.sum((adj_dB > rsq_thr) & dmB, axis=0).astype(i32))
-
-        acc = (l2_f, l2d_f, wse_f, l2_cf, l2d_cf, wse_cf)
-
-        def pass_2a(acc):
-            # ---- pass 2a: all pivot rows × contaminated band rows ----
-            (l2_f, l2d_f, wse_f, l2_cf, l2d_cf, wse_cf) = acc
-            a0 = band_start[b]
-            idxa = sl(miss_idx, a0, pj)
-            va = (jnp.arange(pj, dtype=i32) < band_cnt[b])[None, :]
-            g_jc = lax.dynamic_slice_in_dim(g_c, a0, pj, axis=0)
-            m_jc = lax.dynamic_slice_in_dim(m_c, a0, pj, axis=0)
-            h_jc = lax.dynamic_slice_in_dim(h_c, a0, pj, axis=0)
-            sc_jc = scal_views(
-                lax.dynamic_slice_in_dim(scal_c, a0, pj, axis=0), "row")
-            usable_jc = sl(usable_c, a0, pj)[None, :]
-            dom_ok_jc = sl(dom_ok_c, a0, pj)[None, :]
-
-            dots_a = _compact_dots(idot, g_i, m_i, h_i, g_jc, m_jc, h_jc,
-                                   "b")
-            rA0, rDa0, rDb0 = corr_from_dots(dots_a, sc_i, sc_jc, n, n_padf,
-                                             has_missing=False,
-                                             symmetric=True)
-            rAx, rDax, rDbx = corr_from_dots(dots_a, sc_i, sc_jc, n, n_padf,
-                                             has_missing=True,
-                                             symmetric=True)
-            d_add_a = adj(rAx) - adj(rA0)
-            aDax, aDa0 = adj(rDax), adj(rDa0)
-            aDbx, aDb0 = adj(rDbx), adj(rDb0)
-
-            in_win_a = (idxa[None, :] >= lo_i) & (idxa[None, :] <= hi_i)
-            upair_a = in_win_a & usable_jc & usable_i & va
-            fwd_a = idxa[None, :] >= r0
-            row_a = upair_a & fwd_a & (idxa[None, :] != gi[:, None])
-            col_a = upair_a & (idxa[None, :] >= r0 + B)
-            dmA_a = row_a & dom_ok_jc
-            dmB_a = col_a & dom_ok_i
-
-            l2_f = credit(l2_f, r0, jnp.sum(d_add_a * row_a, axis=1))
-            l2d_f = credit(l2d_f, r0,
-                           jnp.sum((aDax - aDa0) * dmA_a, axis=1))
-            wse_f = credit(
-                wse_f, r0,
-                jnp.sum(jnp.where(dmA_a, (aDax > rsq_thr).astype(i32)
-                                  - (aDa0 > rsq_thr).astype(i32), 0),
-                        axis=1))
-            l2_cf = credit(l2_cf, a0, jnp.sum(d_add_a * col_a, axis=0))
-            l2d_cf = credit(l2d_cf, a0,
-                            jnp.sum((aDbx - aDb0) * dmB_a, axis=0))
-            wse_cf = credit(
-                wse_cf, a0,
-                jnp.sum(jnp.where(dmB_a, (aDbx > rsq_thr).astype(i32)
-                                  - (aDb0 > rsq_thr).astype(i32), 0),
-                        axis=0))
-            return (l2_f, l2d_f, wse_f, l2_cf, l2d_cf, wse_cf)
-
-        def pass_2b(acc):
-            # ---- pass 2b: contaminated pivot rows × CLEAN band rows ----
-            (l2_f, l2d_f, wse_f, l2_cf, l2d_cf, wse_cf) = acc
-            b0 = piv_start[b]
-            idxb = sl(miss_idx, b0, pi)
-            vb = (jnp.arange(pi, dtype=i32) < piv_cnt[b])[:, None]
-            g_ic = lax.dynamic_slice_in_dim(g_c, b0, pi, axis=0)
-            m_ic = lax.dynamic_slice_in_dim(m_c, b0, pi, axis=0)
-            h_ic = lax.dynamic_slice_in_dim(h_c, b0, pi, axis=0)
-            sc_ic = scal_views(
-                lax.dynamic_slice_in_dim(scal_c, b0, pi, axis=0), "col")
-            usable_ic = sl(usable_c, b0, pi)[:, None]
-            dom_ok_ic = sl(dom_ok_c, b0, pi)[:, None]
-            lo_ic = sl(lo_c, b0, pi)[:, None]
-            hi_ic = sl(hi_c, b0, pi)[:, None]
-
-            dots_b = _compact_dots(idot, g_ic, m_ic, h_ic, g_j, m_j, h_j,
-                                   "a")
-            rB0, rDa0b, rDb0b = corr_from_dots(dots_b, sc_ic, sc_j, n,
-                                               n_padf, has_missing=False,
-                                               symmetric=True)
-            rBx, rDaxb, rDbxb = corr_from_dots(dots_b, sc_ic, sc_j, n,
-                                               n_padf, has_missing=True,
-                                               symmetric=True)
-            d_add_b = adj(rBx) - adj(rB0)
-            bDax, bDa0 = adj(rDaxb), adj(rDa0b)
-            bDbx, bDb0 = adj(rDbxb), adj(rDb0b)
-
-            in_win_b = (gj[None, :] >= lo_ic) & (gj[None, :] <= hi_ic)
-            upair_b = in_win_b & usable_j & usable_ic & vb & clean_j
-            fwd_b = gj[None, :] >= r0
-            row_b = upair_b & fwd_b & (gj[None, :] != idxb[:, None])
-            col_b = upair_b & (gj[None, :] >= r0 + B)
-            dmA_b = row_b & dom_ok_j
-            dmB_b = col_b & dom_ok_ic
-
-            l2_cf = credit(l2_cf, b0, jnp.sum(d_add_b * row_b, axis=1))
-            l2d_cf = credit(l2d_cf, b0,
-                            jnp.sum((bDax - bDa0) * dmA_b, axis=1))
-            wse_cf = credit(
-                wse_cf, b0,
-                jnp.sum(jnp.where(dmA_b, (bDax > rsq_thr).astype(i32)
-                                  - (bDa0 > rsq_thr).astype(i32), 0),
-                        axis=1))
-            l2_f = credit(l2_f, j0, jnp.sum(d_add_b * col_b, axis=0))
-            l2d_f = credit(l2d_f, j0,
-                           jnp.sum((bDbx - bDb0) * dmB_b, axis=0))
-            wse_f = credit(
-                wse_f, j0,
-                jnp.sum(jnp.where(dmB_b, (bDbx > rsq_thr).astype(i32)
-                                  - (bDb0 > rsq_thr).astype(i32), 0),
-                        axis=0))
-            return (l2_f, l2d_f, wse_f, l2_cf, l2d_cf, wse_cf)
-
-        if "a" in parts:
-            acc = pass_2a(acc)
-        if "b" in parts:
-            acc = pass_2b(acc)
-        (l2_f, l2d_f, wse_f, l2_cf, l2d_cf, wse_cf) = acc
-
-        return (l2_f, ws_f, poi_f, l2d_f, wsd_f, wse_f,
-                l2_cf, l2d_cf, wse_cf), None
-
-    zf = jnp.zeros(m_pad, jnp.float32)
-    zi = jnp.zeros(m_pad, jnp.int32)
-    zcf = jnp.zeros(mm_pad, jnp.float32)
-    zci = jnp.zeros(mm_pad, jnp.int32)
-    carry, _ = lax.scan(
-        step, (zf, zi, zi, zf, zi, zi, zcf, zcf, zci),
-        blk0 + jnp.arange(n_scan_blocks, dtype=i32))
-    (l2_f, ws_f, poi_f, l2d_f, wsd_f, wse_f, l2_cf, l2d_cf, wse_cf) = carry
-    # fold the compact-row credits back ONCE (padded sentinel slots carry
-    # exact zeros, so the duplicate m_pad-1 targets are no-ops)
-    l2_f = l2_f.at[miss_idx].add(l2_cf)
-    l2d_f = l2d_f.at[miss_idx].add(l2d_cf)
-    wse_f = wse_f.at[miss_idx].add(wse_cf)
-    return (l2_f, ws_f, poi_f, l2d_f, wsd_f, wse_f)
-
-
-@partial(jax.jit, static_argnames=("block_size", "right_k", "n_samples",
                                    "n_piv_blocks", "pi", "pj", "dot_dtype"))
 def banded_chunk_int8_split(pre, dom_ok_b, lo_piv, hi_piv, band_g0, m_pad,
                             rsq_thr, rowmiss_b, miss_idx, piv_start,
@@ -419,10 +157,9 @@ def banded_chunk_int8_split(pre, dom_ok_b, lo_piv, hi_piv, band_g0, m_pad,
     forward credit tail; quantity order l2, ws, poison, l2d, wsd, wse,
     counters as f32) — but runs the clean 3-matmul epilogue over all
     pairs and exact compact corrections for the band's contaminated rows
-    (the in-core :func:`sym_scan_segment_split` algebra with band-LOCAL
-    compaction indices; the per-chunk plan comes from
-    :func:`plan_missing_compaction` called on the band's rowmiss with
-    ``m_pad := ext_rows``).
+    (per-block compact corrections with band-LOCAL compaction indices;
+    the per-chunk plan comes from :func:`plan_missing_compaction` called
+    on the band's rowmiss with ``m_pad := ext_rows``).
     """
     from .ld_int8 import scal_views, stack_scalars  # noqa: PLC0415
 
@@ -643,20 +380,187 @@ def banded_chunk_int8_split(pre, dom_ok_b, lo_piv, hi_piv, band_g0, m_pad,
     return local, tail
 
 
-def ld_scores_int8_split(g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero,
-                         rowmiss, rsq_thr, plan: dict, *, block_size: int,
-                         right_k: int, n_samples: int,
-                         dot_dtype: str = "int8"):
-    """Finalized split-missing symmetric pass over all pivot blocks."""
-    accs = sym_scan_segment_split(
-        g, m, h, scal, lo, hi, usable, dom_ok, add_sd_zero, rowmiss,
-        rsq_thr, jnp.int32(0),
-        jnp.asarray(plan["miss_idx"]), jnp.asarray(plan["piv_start"]),
-        jnp.asarray(plan["piv_cnt"]), jnp.asarray(plan["band_start"]),
-        jnp.asarray(plan["band_cnt"]),
-        block_size=block_size, right_k=right_k, n_samples=n_samples,
-        n_scan_blocks=g.shape[0] // block_size, pi=plan["pi"],
-        pj=plan["pj"], dot_dtype=dot_dtype)
-    (l2_acc, ws, poison, l2d_acc, wsd, wse) = accs
-    return finalize_outputs(l2_acc, l2d_acc, ws, wsd, wse, poison,
-                            usable, add_sd_zero)
+# ---------------------------------------------------------------------------
+# v2: SEGMENTED corrections — the per-block correction launches above are
+# K-loop-bound at huge N (each skinny matmul streams a big operand from HBM
+# regardless of its output width; PERFORMANCE.md ablation).  The segmented
+# form enumerates every ordered pair (x, contaminated c) once, with x swept
+# in LARGE row segments, so the big operands are read once per segment:
+#
+#   * for x CLEAN, the m_x-side dots collapse analytically: smg = smh = 0
+#     (g/h are zero wherever m_x is 1 — only at sample padding, where g/h
+#     are zero-padded) and smm = n_pad − n (the padding overlap constant),
+#     so the exact epilogue needs only TWO big launches per segment:
+#     ``g_x × [g|m|h]_c`` and ``h_x × [g|m]_c``;
+#   * the x-CONTAMINATED rows of the segment get their true m_x dots from
+#     one tiny compact×compact product scattered into the tiles.
+#
+# Credit rule (each unordered pair exactly once per side): the (x, c)
+# entry always credits the x side; it credits the c side only when x is
+# clean (a contaminated x's mirrored credit comes from its own entry as
+# the second element).  Pass 1 is the UNMODIFIED clean symmetric scan
+# (ld_int8.sym_scan_segment with has_missing=False) — this pass only adds
+# δ = adj(exact) − adj(clean) for contaminated pairs.
+# ---------------------------------------------------------------------------
+
+
+def plan_split_v2(rowmiss: np.ndarray, lo: np.ndarray, hi: np.ndarray,
+                  seg_rows: int, m_pad: int, pad_to: int = 8) -> dict:
+    """Host-side plan for :func:`split_corrections` (v2 segmented form)."""
+    miss = np.flatnonzero(rowmiss).astype(np.int32)
+    n_segs = max(1, -(-m_pad // seg_rows))
+    cs = np.zeros(n_segs, np.int32)
+    ce = np.zeros(n_segs, np.int32)
+    xs = np.zeros(n_segs, np.int32)
+    xe = np.zeros(n_segs, np.int32)
+    for s in range(n_segs):
+        s0, s1 = s * seg_rows, min((s + 1) * seg_rows, m_pad)
+        cl = int(lo[s0:s1].min()) if s1 > s0 else m_pad
+        ch = int(hi[s0:s1].max()) if s1 > s0 else -1
+        cs[s] = np.searchsorted(miss, cl)
+        ce[s] = np.searchsorted(miss, ch + 1)
+        xs[s] = np.searchsorted(miss, s0)
+        xe[s] = np.searchsorted(miss, s1)
+
+    def pad_dim(count):
+        p = int(count.max()) if len(count) else 0
+        return max(pad_to, -(-p // pad_to) * pad_to)
+
+    p_band = pad_dim(ce - cs)
+    p_x = pad_dim(xe - xs)
+    mm_pad = len(miss) + max(p_band, p_x)
+    miss_idx = np.full(mm_pad, m_pad - 1, dtype=np.int32)
+    miss_idx[: len(miss)] = miss
+    return {"miss_idx": miss_idx, "cs": cs, "c_cnt": (ce - cs).astype(np.int32),
+            "xs": xs, "x_cnt": (xe - xs).astype(np.int32),
+            "p_band": p_band, "p_x": p_x, "mm_pad": mm_pad,
+            "n_miss": len(miss), "n_segs": n_segs}
+
+
+@partial(jax.jit, static_argnames=("seg_rows", "n_segs", "p_band", "p_x",
+                                   "n_samples", "dot_dtype"))
+def split_corrections(g, m, h, scal, lo, hi, usable, dom_ok, rowmiss,
+                      rsq_thr, miss_idx, cs, c_cnt, xs, x_cnt, *,
+                      seg_rows: int, n_segs: int, p_band: int, p_x: int,
+                      n_samples: int, dot_dtype: str = "int8"):
+    """δ-credit vectors for every pair with a contaminated member.
+
+    Returns full-length (l2_δ f32, l2d_δ f32, wse_δ int32) to ADD to the
+    clean pass's un-finalized credits.  ``m`` is read only through its
+    COMPACTED contaminated rows.
+    """
+    m_pad, n_pad_cols = g.shape
+    n = jnp.float32(n_samples)
+    n_padf = jnp.float32(n_pad_cols)
+    adj_c = (n - 1.0) / (n - 2.0)
+    pad_const = n_padf - n            # smm for clean x = padding overlap
+    idot = make_idot(dot_dtype)
+    i32 = jnp.int32
+    S = seg_rows
+
+    g_c = jnp.take(g, miss_idx, axis=0)
+    m_c = jnp.take(m, miss_idx, axis=0)
+    h_c = jnp.take(h, miss_idx, axis=0)
+    scal_c = jnp.take(scal, miss_idx, axis=0)
+    usable_c = jnp.take(usable, miss_idx)
+    dom_ok_c = jnp.take(dom_ok, miss_idx)
+
+    def sl(v, at, size):
+        return lax.dynamic_slice_in_dim(v, at, size)
+
+    def adj(r):
+        return 1.0 - (1.0 - r * r) * adj_c
+
+    def credit(full, at, vals):
+        cur = lax.dynamic_slice_in_dim(full, at, vals.shape[0])
+        return lax.dynamic_update_slice_in_dim(full, cur + vals, at, 0)
+
+    def step(carry, s):
+        l2_f, l2d_f, wse_f, l2_cf, l2d_cf, wse_cf = carry
+        s0 = jnp.minimum(s * S, m_pad - S)      # clamped; overlap masked
+        xidx = s0 + jnp.arange(S, dtype=i32)
+        xvalid = (xidx >= s * S)[:, None]
+        g_x = lax.dynamic_slice_in_dim(g, s0, S, axis=0)
+        h_x = lax.dynamic_slice_in_dim(h, s0, S, axis=0)
+        lo_x = sl(lo, s0, S)[:, None]
+        hi_x = sl(hi, s0, S)[:, None]
+        usable_x = sl(usable, s0, S)[:, None]
+        dom_ok_x = sl(dom_ok, s0, S)[:, None]
+        cln_x = ~sl(rowmiss, s0, S)[:, None]
+        sc_x = scal_views(lax.dynamic_slice_in_dim(scal, s0, S, axis=0),
+                          "col")
+
+        c0 = cs[s]
+        cidx = sl(miss_idx, c0, p_band)
+        vc = (jnp.arange(p_band, dtype=i32) < c_cnt[s])[None, :]
+        g_cc = lax.dynamic_slice_in_dim(g_c, c0, p_band, axis=0)
+        m_cc = lax.dynamic_slice_in_dim(m_c, c0, p_band, axis=0)
+        h_cc = lax.dynamic_slice_in_dim(h_c, c0, p_band, axis=0)
+        sc_c = scal_views(
+            lax.dynamic_slice_in_dim(scal_c, c0, p_band, axis=0), "row")
+        usable_cc = sl(usable_c, c0, p_band)[None, :]
+        dom_ok_cc = sl(dom_ok_c, c0, p_band)[None, :]
+
+        # two big launches (each big operand read once per segment)
+        cat3 = jnp.concatenate([g_cc, m_cc, h_cc], axis=0)
+        a_t = idot(g_x, cat3)                       # (S, 3P)
+        b_t = idot(h_x, cat3[: 2 * p_band])         # (S, 2P)
+        # tiny compact product supplies the contaminated-x m-side dots
+        x0 = xs[s]
+        xcid = sl(miss_idx, x0, p_x)
+        vx = (jnp.arange(p_x, dtype=i32) < x_cnt[s])[:, None]
+        m_xc = lax.dynamic_slice_in_dim(m_c, x0, p_x, axis=0)
+        d_t = idot(m_xc, cat3)                      # (p_x, 3P)
+        locs = jnp.clip(xcid - s0, 0, S - 1)
+        dz = jnp.where(vx & (xcid >= s0)[:, None]
+                       & (xcid < s0 + S)[:, None], d_t, 0.0)
+        d_full = jnp.zeros((S, 3 * p_band), jnp.float32).at[locs].add(dz)
+
+        contam_x = ~cln_x
+        P = p_band
+        dots_x = {"sgg": a_t[:, :P], "sgm": a_t[:, P:2 * P],
+                  "sgh": a_t[:, 2 * P:],
+                  "shg": b_t[:, :P], "shm": b_t[:, P:2 * P],
+                  "smg": d_full[:, :P],
+                  "smm": jnp.where(contam_x, d_full[:, P:2 * P], pad_const),
+                  "smh": d_full[:, 2 * P:]}
+        rAx, rDax, rDbx = corr_from_dots(dots_x, sc_x, sc_c, n, n_padf,
+                                         has_missing=True, symmetric=True)
+        rA0, rDa0, rDb0 = corr_from_dots(dots_x, sc_x, sc_c, n, n_padf,
+                                         has_missing=False, symmetric=True)
+        d_add = adj(rAx) - adj(rA0)
+        aDax, aDa0 = adj(rDax), adj(rDa0)
+        aDbx, aDb0 = adj(rDbx), adj(rDb0)
+
+        in_win = (cidx[None, :] >= lo_x) & (cidx[None, :] <= hi_x)
+        pair = (in_win & usable_cc & usable_x & vc & xvalid
+                & (cidx[None, :] != xidx[:, None]))
+        dmA = pair & dom_ok_cc
+        mirror = pair & cln_x
+        dmB = mirror & dom_ok_x
+
+        l2_f = credit(l2_f, s0, jnp.sum(d_add * pair, axis=1))
+        l2d_f = credit(l2d_f, s0, jnp.sum((aDax - aDa0) * dmA, axis=1))
+        wse_f = credit(
+            wse_f, s0,
+            jnp.sum(jnp.where(dmA, (aDax > rsq_thr).astype(i32)
+                              - (aDa0 > rsq_thr).astype(i32), 0), axis=1))
+        l2_cf = credit(l2_cf, c0, jnp.sum(d_add * mirror, axis=0))
+        l2d_cf = credit(l2d_cf, c0, jnp.sum((aDbx - aDb0) * dmB, axis=0))
+        wse_cf = credit(
+            wse_cf, c0,
+            jnp.sum(jnp.where(dmB, (aDbx > rsq_thr).astype(i32)
+                              - (aDb0 > rsq_thr).astype(i32), 0), axis=0))
+        return (l2_f, l2d_f, wse_f, l2_cf, l2d_cf, wse_cf), None
+
+    mm_pad = miss_idx.shape[0]
+    zf = jnp.zeros(m_pad, jnp.float32)
+    zi = jnp.zeros(m_pad, i32)
+    init = (zf, zf, zi, jnp.zeros(mm_pad, jnp.float32),
+            jnp.zeros(mm_pad, jnp.float32), jnp.zeros(mm_pad, i32))
+    (l2_f, l2d_f, wse_f, l2_cf, l2d_cf, wse_cf), _ = lax.scan(
+        step, init, jnp.arange(n_segs, dtype=i32))
+    l2_f = l2_f.at[miss_idx].add(l2_cf)
+    l2d_f = l2d_f.at[miss_idx].add(l2d_cf)
+    wse_f = wse_f.at[miss_idx].add(wse_cf)
+    return l2_f, l2d_f, wse_f

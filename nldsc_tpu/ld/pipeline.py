@@ -174,34 +174,35 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
                     # touches missing data — the clean epilogue is exact
                     use_missing = False
                 elif want_split:
-                    split_plan = ld_split.plan_missing_compaction(
-                        rowmiss_h, B, right_k, n_blocks, m_pad)
+                    # v2 segmented corrections: the clean scan runs
+                    # unmodified over all pairs; one extra dispatch adds
+                    # exact δ-credits for contaminated pairs, with x
+                    # swept in LARGE segments so each big operand is
+                    # read once per segment (PERFORMANCE.md ablation:
+                    # per-block correction launches are K-loop-bound)
+                    seg_rows = min(4096, m_pad)
+                    split_plan = ld_split.plan_split_v2(
+                        rowmiss_h, lo_pad, hi_pad, seg_rows, m_pad)
+                    split_plan["seg_rows"] = seg_rows
                     log.info("Split-missing engine: %.2f%% contaminated "
-                             "rows (Pi=%d, Pj=%d)", 100.0 * frac,
-                             split_plan["pi"], split_plan["pj"])
+                             "rows (P=%d, Px=%d, %d segments)",
+                             100.0 * frac, split_plan["p_band"],
+                             split_plan["p_x"], split_plan["n_segs"])
                     split_dev = (jnp.asarray(rowmiss_h),
                                  jnp.asarray(split_plan["miss_idx"]),
-                                 jnp.asarray(split_plan["piv_start"]),
-                                 jnp.asarray(split_plan["piv_cnt"]),
-                                 jnp.asarray(split_plan["band_start"]),
-                                 jnp.asarray(split_plan["band_cnt"]))
+                                 jnp.asarray(split_plan["cs"]),
+                                 jnp.asarray(split_plan["c_cnt"]),
+                                 jnp.asarray(split_plan["xs"]),
+                                 jnp.asarray(split_plan["x_cnt"]))
 
-            if split_plan is not None:
-                def run_segment(s0: int, nb_s: int):
-                    return ld_split.sym_scan_segment_split(
-                        *int8_args[:9], split_dev[0], int8_args[11],
-                        jnp.int32(s0), *split_dev[1:], block_size=B,
-                        right_k=right_k, n_samples=n, n_scan_blocks=nb_s,
-                        pi=split_plan["pi"], pj=split_plan["pj"],
-                        dot_dtype=config.int8_dot_dtype)
-            else:
-                def run_segment(s0: int, nb_s: int):
-                    scan_args = int8_args[:9] + (int8_args[11],)
-                    return ld_int8.sym_scan_segment(
-                        *scan_args, jnp.int32(s0), block_size=B,
-                        right_k=right_k, n_samples=n, n_scan_blocks=nb_s,
-                        has_missing=use_missing,
-                        dot_dtype=config.int8_dot_dtype)
+            def run_segment(s0: int, nb_s: int):
+                scan_args = int8_args[:9] + (int8_args[11],)
+                return ld_int8.sym_scan_segment(
+                    *scan_args, jnp.int32(s0), block_size=B,
+                    right_k=right_k, n_samples=n, n_scan_blocks=nb_s,
+                    has_missing=(use_missing if split_plan is None
+                                 else False),
+                    dot_dtype=config.int8_dot_dtype)
 
             if progress is not None and n_blocks > 1:
                 n_seg = min(16, n_blocks)
@@ -220,6 +221,18 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
             else:
                 totals = run_segment(0, n_blocks)
             l2_c, ws_c, poi_c, l2d_c, wsd_c, wse_c = totals
+            if split_plan is not None:
+                l2_d, l2d_d, wse_d = ld_split.split_corrections(
+                    pre["g"], pre["m"], pre["h"], int8_args[3],
+                    int8_args[4], int8_args[5], pre["usable"], dom_ok,
+                    split_dev[0], int8_args[11], *split_dev[1:],
+                    seg_rows=split_plan["seg_rows"],
+                    n_segs=split_plan["n_segs"],
+                    p_band=split_plan["p_band"], p_x=split_plan["p_x"],
+                    n_samples=n, dot_dtype=config.int8_dot_dtype)
+                l2_c = l2_c + l2_d
+                l2d_c = l2d_c + l2d_d
+                wse_c = wse_c + wse_d
             l2, l2d, ws, wsd, wse = _finalize_jit(
                 l2_c, l2d_c, ws_c, wsd_c, wse_c, poi_c,
                 pre["usable"], pre["add_sd_zero"])
