@@ -131,7 +131,7 @@ def tpu_pass(has_missing=False, row_missing=False):
             l2_d, l2d_d, wse_d = ld_split.split_corrections(
                 pre["g"], pre["m"], pre["h"], ld_int8.stack_scalars(pre),
                 meta[1], meta[2], pre["usable"], dom_ok, rowmiss_dev,
-                jnp.float32(RSQ_THR), *plan_dev,
+                jnp.float32(RSQ_THR), jnp.int32(m_total), *plan_dev,
                 seg_rows=min(4096, m_total), n_segs=plan["n_segs"],
                 p_band=plan["p_band"], p_x=plan["p_x"], n_samples=N,
                 dot_dtype="int8")

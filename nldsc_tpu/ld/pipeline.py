@@ -225,7 +225,8 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
                 l2_d, l2d_d, wse_d = ld_split.split_corrections(
                     pre["g"], pre["m"], pre["h"], int8_args[3],
                     int8_args[4], int8_args[5], pre["usable"], dom_ok,
-                    split_dev[0], int8_args[11], *split_dev[1:],
+                    split_dev[0], int8_args[11], jnp.int32(m_pad),
+                    *split_dev[1:],
                     seg_rows=split_plan["seg_rows"],
                     n_segs=split_plan["n_segs"],
                     p_band=split_plan["p_band"], p_x=split_plan["p_x"],

@@ -39,6 +39,14 @@ from .preprocess import preprocess_block
 from . import windows
 
 
+@jax.jit
+def _fold_split_deltas(l2_d, l2d_d, wse_d):
+    """Stack split-corrections δ-vectors into the (6, rows) chunk credit
+    layout (l2, ws, poison, l2d, wsd, wse; counters f32)."""
+    z = jnp.zeros_like(l2_d)
+    return jnp.stack([l2_d, z, z, l2d_d, z, wse_d.astype(jnp.float32)])
+
+
 @partial(jax.jit, static_argnames=("block_size", "band_k", "n_samples",
                                    "n_piv_blocks", "has_missing",
                                    "dot_dtype"))
@@ -376,53 +384,6 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     lead = 0 if symmetric else halo   # rows of band before the pivots
     use_packed = hasattr(bed, "read_raw")
 
-    # --- split-missing selection (same policy as the in-core pipeline):
-    # one LUT pass over the .bed bytes finds which rows actually carry
-    # missing genotypes; when they are a minority, every chunk runs the
-    # clean 3-matmul pass + compact exact corrections instead of the
-    # global 8-matmul epilogue
-    split_plans = None
-    split_pi = split_pj = 0
-    if (symmetric and annot is None and sample_mesh is None and use_packed
-            and config.split_missing is not False):
-        from ..io.plink import scan_rowmiss  # noqa: PLC0415
-        from .ld_split import plan_missing_compaction  # noqa: PLC0415
-
-        rowmiss_all = scan_rowmiss(bed)
-        frac = float(rowmiss_all.mean())
-        want = (config.split_missing if config.split_missing is not None
-                else 0.0 < frac <= 0.25)
-        if want and rowmiss_all.any():
-            rm_pad = np.zeros(m_ext, dtype=bool)
-            rm_pad[:m] = rowmiss_all
-            n_pb = chunk_rows // B
-            raw_plans = []
-            for ci in range(n_chunks):
-                rb = np.zeros(band_rows, dtype=bool)
-                r0c = ci * chunk_rows
-                r1c = min(r0c + band_rows, m_ext)
-                rb[: r1c - r0c] = rm_pad[r0c:r1c]
-                raw_plans.append(
-                    (rb, plan_missing_compaction(rb, B, right_k, n_pb,
-                                                 band_rows)))
-            # one compile across chunks: pad every plan to the run maxima
-            split_pi = max(p["pi"] for _, p in raw_plans)
-            split_pj = max(p["pj"] for _, p in raw_plans)
-            mm = max(p["n_miss"] for _, p in raw_plans) + max(split_pi,
-                                                              split_pj)
-            split_plans = []
-            for rb, p in raw_plans:
-                mi = np.full(mm, band_rows - 1, dtype=np.int32)
-                mi[: p["n_miss"]] = p["miss_idx"][: p["n_miss"]]
-                split_plans.append({"rowmiss": rb, "miss_idx": mi,
-                                    "piv_start": p["piv_start"],
-                                    "piv_cnt": p["piv_cnt"],
-                                    "band_start": p["band_start"],
-                                    "band_cnt": p["band_cnt"]})
-            log.info("Split-missing streaming engine: %.2f%% contaminated "
-                     "rows (Pi=%d, Pj=%d)", 100.0 * frac, split_pi,
-                     split_pj)
-
     def pad_meta(a, fill):
         return np.concatenate(
             [a, np.full(m_ext - len(a), fill, a.dtype)]).astype(a.dtype)
@@ -433,6 +394,64 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     nbk = len(blk_lo_all)
     blk_lo_pad = np.concatenate(
         [blk_lo_all, np.arange(nbk, m_ext // B, dtype=np.int32)])
+
+    # --- split-missing selection (same policy as the in-core pipeline):
+    # one LUT pass over the .bed bytes finds which rows actually carry
+    # missing genotypes; when they are a minority, every chunk runs the
+    # clean 3-matmul pass + compact exact corrections instead of the
+    # global 8-matmul epilogue
+    split_plans = None
+    split_p = split_px = 0
+    split_seg = min(4096, band_rows)
+    split_nseg = -(-band_rows // split_seg)
+    if (symmetric and annot is None and sample_mesh is None and use_packed
+            and config.split_missing is not False):
+        from ..io.plink import scan_rowmiss  # noqa: PLC0415
+        from .ld_split import plan_split_v2  # noqa: PLC0415
+
+        rowmiss_all = scan_rowmiss(bed)
+        frac = float(rowmiss_all.mean())
+        want = (config.split_missing if config.split_missing is not None
+                else 0.0 < frac <= 0.25)
+        if want and rowmiss_all.any():
+            # the v2 segmented corrections run per chunk on the BAND in
+            # LOCAL coordinates with own_hi = chunk_rows (pair owned by
+            # the chunk holding its left member — the chunk pass's own
+            # ownership rule), so every global pair is corrected once
+            rm_pad = np.zeros(m_ext + halo, dtype=bool)
+            rm_pad[:m] = rowmiss_all
+            lo_ext = np.concatenate(
+                [lo_pad, np.full(halo, m_pad, np.int32)]).astype(np.int32)
+            hi_ext = np.concatenate(
+                [hi_pad, np.full(halo, -1, np.int32)]).astype(np.int32)
+            raw_plans = []
+            for ci in range(n_chunks):
+                r0c = ci * chunk_rows
+                rb = rm_pad[r0c:r0c + band_rows]
+                lo_loc = lo_ext[r0c:r0c + band_rows] - r0c
+                hi_loc = hi_ext[r0c:r0c + band_rows] - r0c
+                raw_plans.append(
+                    (rb, plan_split_v2(rb, lo_loc, hi_loc, split_seg,
+                                       band_rows)))
+            # one compile across chunks: pad every plan to the run maxima
+            split_p = max(p["p_band"] for _, p in raw_plans)
+            split_px = max(p["p_x"] for _, p in raw_plans)
+            mm = max(p["n_miss"] for _, p in raw_plans) + max(split_p,
+                                                              split_px)
+            split_plans = []
+            for rb, p in raw_plans:
+                mi = np.full(mm, band_rows - 1, dtype=np.int32)
+                mi[: p["n_miss"]] = p["miss_idx"][: p["n_miss"]]
+                r0c = len(split_plans) * chunk_rows
+                split_plans.append({"rowmiss": rb, "miss_idx": mi,
+                                    "cs": p["cs"], "c_cnt": p["c_cnt"],
+                                    "xs": p["xs"], "x_cnt": p["x_cnt"],
+                                    "lo": lo_ext[r0c:r0c + band_rows] - r0c,
+                                    "hi": hi_ext[r0c:r0c + band_rows] - r0c})
+            log.info("Split-missing streaming engine: %.2f%% contaminated "
+                     "rows (P=%d, Px=%d, %d band segments)", 100.0 * frac,
+                     split_p, split_px, split_nseg)
+
 
     out = {k: np.full(m_ext, np.nan) for k in ("l2", "l2d", "maf",
                                                "residuals_std")}
@@ -474,7 +493,7 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                 "maf_thr": float(config.maf_thr),
                 "std_thr": float(config.std_thr),
                 "rsq_thr": float(config.rsq_thr),
-                "engine": ("sym-split" if split_plans is not None
+                "engine": ("sym-split2" if split_plans is not None
                            else "sym" if symmetric else "full"),
                 "annot_p": -1 if annot is None else annot.shape[1],
                 "dot_dtype": config.int8_dot_dtype if use_int8 else "f32",
@@ -625,19 +644,31 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                 jnp.float32(config.maf_thr), n_samples=n)
             dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
             if split_plans is not None:
-                from .ld_split import banded_chunk_int8_split  # noqa: PLC0415
+                from .ld_split import split_corrections  # noqa: PLC0415
+                from .ld_int8 import stack_scalars  # noqa: PLC0415
 
                 pl = split_plans[ci]
-                accs = banded_chunk_int8_split(
+                local, tail = _banded_chunk_int8_sym(
                     pre, dom_ok, dev_put(lo_pad[p0:p1]),
-                    dev_put(hi_pad[p0:p1]), jnp.int32(p0), jnp.int32(m_pad),
-                    jnp.float32(config.rsq_thr), dev_put(pl["rowmiss"]),
-                    dev_put(pl["miss_idx"]), dev_put(pl["piv_start"]),
-                    dev_put(pl["piv_cnt"]), dev_put(pl["band_start"]),
-                    dev_put(pl["band_cnt"]), block_size=B, right_k=right_k,
-                    n_samples=n, n_piv_blocks=n_piv_blocks, pi=split_pi,
-                    pj=split_pj, dot_dtype=config.int8_dot_dtype)
-                return pre, accs
+                    dev_put(hi_pad[p0:p1]), jnp.int32(p0),
+                    jnp.int32(m_pad), jnp.float32(config.rsq_thr), None,
+                    block_size=B, right_k=right_k, n_samples=n,
+                    n_piv_blocks=n_piv_blocks, has_missing=False,
+                    dot_dtype=config.int8_dot_dtype)
+                l2_d, l2d_d, wse_d = split_corrections(
+                    pre["g"], pre["m"], pre["h"], stack_scalars(pre),
+                    dev_put(pl["lo"]), dev_put(pl["hi"]), pre["usable"],
+                    dom_ok, dev_put(pl["rowmiss"]),
+                    jnp.float32(config.rsq_thr), jnp.int32(chunk_rows),
+                    dev_put(pl["miss_idx"]), dev_put(pl["cs"]),
+                    dev_put(pl["c_cnt"]), dev_put(pl["xs"]),
+                    dev_put(pl["x_cnt"]), seg_rows=split_seg,
+                    n_segs=split_nseg, p_band=split_p, p_x=split_px,
+                    n_samples=n, dot_dtype=config.int8_dot_dtype)
+                delta = _fold_split_deltas(l2_d, l2d_d, wse_d)
+                local = local + delta[:, :chunk_rows]
+                tail = tail + delta[:, chunk_rows:]
+                return pre, (local, tail)
             accs = _banded_chunk_int8_sym(
                 pre, dom_ok, dev_put(lo_pad[p0:p1]), dev_put(hi_pad[p0:p1]),
                 jnp.int32(p0), jnp.int32(m_pad), jnp.float32(config.rsq_thr),

@@ -70,7 +70,8 @@ for mode in ("clean", "entries", "rows"):
             l2_d, l2d_d, wse_d = ld_split.split_corrections(
                 pre["g"], pre["m"], pre["h"], args[3], meta[1], meta[2],
                 pre["usable"], dom_ok, rowmiss_dev, jnp.float32(1e-4),
-                *plan_dev, seg_rows=SEG, n_segs=plan["n_segs"],
+                jnp.int32(M), *plan_dev, seg_rows=SEG,
+                n_segs=plan["n_segs"],
                 p_band=plan["p_band"], p_x=plan["p_x"], n_samples=N,
                 dot_dtype="int8")
             out = finalize_outputs(l2_c + l2_d, l2d_c + l2d_d, ws_c,

@@ -86,7 +86,8 @@ def test_split_adversarial_rows(rng):
 
 
 def test_split_streaming_matches_dense_and_oracle(tmp_path, rng):
-    """Out-of-core split engine (banded_chunk_int8_split): row-sparse
+    """Out-of-core split engine (split_corrections on chunk bands with
+    ownership masking): row-sparse
     missing data auto-selects it; results match the in-core split engine
     and the oracle, across chunk sizes (incl. halo > chunk)."""
     from nldsc_tpu.io.plink import BedReader, write_plink
