@@ -7,11 +7,12 @@ pairs where at least one member row actually contains a missing genotype
 — in real data a minority of SNPs.  This engine makes the missing cost
 proportional to that minority:
 
-  pass 1 (per pivot block) — the 3-matmul CLEAN symmetric epilogue over
-      *all* pairs.  For pairs of two clean rows this is already exact
-      (their ``u``-dots collapse to per-row integer sums); for pairs
-      touching a contaminated row it produces a deterministic wrong value
-      that pass 2 cancels.
+  pass 1 — the UNMODIFIED clean symmetric pass over *all* pairs
+      (``ld_int8.sym_scan_segment`` with ``has_missing=False`` in-core;
+      the clean chunk pass in streaming).  For pairs of two clean rows
+      this is already exact (their ``u``-dots collapse to per-row
+      integer sums); for pairs touching a contaminated row it produces
+      a deterministic wrong value that pass 2 cancels.
 
   pass 2 (:func:`split_corrections`) — exact corrections
       ``δ = adj(r_exact) − adj(r_clean)`` for every pair with a
