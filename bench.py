@@ -91,11 +91,10 @@ def tpu_pass(has_missing=False, row_missing=False):
     if row_missing:
         rowmiss_h = np.zeros(m_total, dtype=bool)
         rowmiss_h[::50] = True                      # 2% of rows
-        plan = ld_split.plan_split_v2(rowmiss_h, lo, hi,
-                                      min(4096, m_total), m_total)
+        plan = ld_split.plan_split_v2(
+            rowmiss_h, lo, hi, min(ld_split.SEG_ROWS_DEFAULT, m_total),
+            m_total)
         rowmiss_dev = jnp.asarray(rowmiss_h)
-        plan_dev = tuple(jnp.asarray(plan[k]) for k in
-                         ("miss_idx", "cs", "c_cnt", "xs", "x_cnt"))
 
     @jax.jit
     def gen(key):
@@ -121,23 +120,10 @@ def tpu_pass(has_missing=False, row_missing=False):
                 meta[1], meta[2], pre["usable"], dom_ok, pre["add_sd_zero"])
         if row_missing:
             # v2 split: clean scan over all pairs + segmented δ-corrections
-            from nldsc_tpu.ld.ld_xla import finalize_outputs
-            accs = ld_int8.sym_scan_segment(
-                *args, jnp.float32(RSQ_THR), jnp.int32(0),
+            out = ld_split.ld_scores_split(
+                *args, rowmiss_dev, jnp.float32(RSQ_THR), plan,
                 block_size=BLOCK, right_k=right_k, n_samples=N,
-                n_scan_blocks=m_total // BLOCK, has_missing=False,
                 dot_dtype="int8")
-            l2_c, ws_c, poi_c, l2d_c, wsd_c, wse_c = accs
-            l2_d, l2d_d, wse_d = ld_split.split_corrections(
-                pre["g"], pre["m"], pre["h"], ld_int8.stack_scalars(pre),
-                meta[1], meta[2], pre["usable"], dom_ok, rowmiss_dev,
-                jnp.float32(RSQ_THR), jnp.int32(m_total), *plan_dev,
-                seg_rows=min(4096, m_total), n_segs=plan["n_segs"],
-                p_band=plan["p_band"], p_x=plan["p_x"], n_samples=N,
-                dot_dtype="int8")
-            out = finalize_outputs(l2_c + l2_d, l2d_c + l2d_d, ws_c,
-                                   wsd_c, wse_c + wse_d, poi_c,
-                                   pre["usable"], pre["add_sd_zero"])
         else:
             out = ld_int8.ld_scores_int8_sym(
                 *args, meta[3], meta[4],

@@ -31,12 +31,12 @@ proportional to that minority:
       credits plus the forward tail like the chunk pass outputs.
 
 Exactness: contaminated-pair values come from the SAME exact integer
-S-matrices as the global engine (bitwise-identical adjusted r²), so the
-value-dependent WSE counter matches the global engine exactly; the f32
-L2/L2D sums differ only by summation order (≤ a few ulp).  The clean
-pass-1 value for a contaminated pair and its pass-2 ``−adj(r_clean)``
-term are the same expression tree on the same exact-integer inputs, so
-the correction cancels it to f32 rounding.
+S-matrices as the global engine, and the corrections re-evaluate every
+pair in the orientation pass 1 used (left member as i — entries with a
+contaminated left member select role-swapped expressions), so adjusted
+r² values are BITWISE identical and the value-dependent WSE counter
+matches the global engine exactly; the f32 L2/L2D sums differ only by
+summation order (≤ a few ulp).
 
 Reference semantics anchor: per-pair adjusted r² and counters,
 ``ldscalc.h:23-60``; missing = mean-impute after MAF, ``encoder.h:99-129``.
@@ -54,30 +54,6 @@ from jax import lax
 
 from .ld_int8 import corr_from_dots, make_idot, scal_views
 from .ld_xla import finalize_outputs
-
-
-# ---------------------------------------------------------------------------
-# v2: SEGMENTED corrections — the per-block correction launches above are
-# K-loop-bound at huge N (each skinny matmul streams a big operand from HBM
-# regardless of its output width; PERFORMANCE.md ablation).  The segmented
-# form enumerates every ordered pair (x, contaminated c) once, with x swept
-# in LARGE row segments, so the big operands are read once per segment:
-#
-#   * for x CLEAN, the m_x-side dots collapse analytically: smg = smh = 0
-#     (g/h are zero wherever m_x is 1 — only at sample padding, where g/h
-#     are zero-padded) and smm = n_pad − n (the padding overlap constant),
-#     so the exact epilogue needs only TWO big launches per segment:
-#     ``g_x × [g|m|h]_c`` and ``h_x × [g|m]_c``;
-#   * the x-CONTAMINATED rows of the segment get their true m_x dots from
-#     one tiny compact×compact product scattered into the tiles.
-#
-# Credit rule (each unordered pair exactly once per side): the (x, c)
-# entry always credits the x side; it credits the c side only when x is
-# clean (a contaminated x's mirrored credit comes from its own entry as
-# the second element).  Pass 1 is the UNMODIFIED clean symmetric scan
-# (ld_int8.sym_scan_segment with has_missing=False) — this pass only adds
-# δ = adj(exact) − adj(clean) for contaminated pairs.
-# ---------------------------------------------------------------------------
 
 
 def plan_split_v2(rowmiss: np.ndarray, lo: np.ndarray, hi: np.ndarray,
@@ -110,7 +86,7 @@ def plan_split_v2(rowmiss: np.ndarray, lo: np.ndarray, hi: np.ndarray,
     return {"miss_idx": miss_idx, "cs": cs, "c_cnt": (ce - cs).astype(np.int32),
             "xs": xs, "x_cnt": (xe - xs).astype(np.int32),
             "p_band": p_band, "p_x": p_x, "mm_pad": mm_pad,
-            "n_miss": len(miss), "n_segs": n_segs}
+            "n_miss": len(miss), "n_segs": n_segs, "seg_rows": seg_rows}
 
 
 @partial(jax.jit, static_argnames=("seg_rows", "n_segs", "p_band", "p_x",
@@ -213,9 +189,40 @@ def split_corrections(g, m, h, scal, lo, hi, usable, dom_ok, rowmiss,
                                          has_missing=True, symmetric=True)
         rA0, rDa0, rDb0 = corr_from_dots(dots_x, sc_x, sc_c, n, n_padf,
                                          has_missing=False, symmetric=True)
-        d_add = adj(rAx) - adj(rA0)
-        aDax, aDa0 = adj(rDax), adj(rDa0)
-        aDbx, aDb0 = adj(rDbx), adj(rDb0)
+
+        # ORIENTATION selection for bitwise parity: pass 1 (and the
+        # global engine) evaluate each pair's expressions with the pair's
+        # LEFT member as i.  For entries where c < x, re-evaluate on the
+        # role-swapped dots (every needed S value is already in the tiles
+        # — e.g. sgh(c,x) = shg(x,c)) and select per pair, so the clean
+        # baseline cancels pass 1's contribution bitwise and the
+        # value-dependent WSE counter matches the global engine EXACTLY
+        # instead of to-the-last-ulp-probabilistically (the f32 products
+        # associate differently between the dom_a and dom_b branches).
+        dots_s = {"sgg": dots_x["sgg"], "sgh": dots_x["shg"],
+                  "shg": dots_x["sgh"], "sgm": dots_x["smg"],
+                  "smg": dots_x["sgm"], "smm": dots_x["smm"],
+                  "smh": dots_x["shm"], "shm": dots_x["smh"]}
+        # the existing views already have the right broadcast shapes for
+        # the swapped roles: i = c varies along columns ((1, P) row view),
+        # j = x varies along rows ((S, 1) col view)
+        rAxs, rDaxs, rDbxs = corr_from_dots(dots_s, sc_c, sc_x, n,
+                                            n_padf, has_missing=True,
+                                            symmetric=True)
+        rA0s, rDa0s, rDb0s = corr_from_dots(dots_s, sc_c, sc_x, n,
+                                            n_padf, has_missing=False,
+                                            symmetric=True)
+        swap = cidx[None, :] < xidx[:, None]        # c is the left member
+
+        def sel(direct, swapped):
+            return jnp.where(swap, swapped, direct)
+
+        d_add = sel(adj(rAx) - adj(rA0), adj(rAxs) - adj(rA0s))
+        # value crediting x = (add_x × resid_c): dom_a in the (x,c)
+        # orientation, dom_b in the swapped (c,x) orientation
+        aDax, aDa0 = sel(adj(rDax), adj(rDbxs)), sel(adj(rDa0), adj(rDb0s))
+        # value crediting c = (add_c × resid_x): the mirror
+        aDbx, aDb0 = sel(adj(rDbx), adj(rDaxs)), sel(adj(rDb0), adj(rDa0s))
 
         in_win = (cidx[None, :] >= lo_x) & (cidx[None, :] <= hi_x)
         own = jnp.minimum(xidx[:, None], cidx[None, :]) < own_hi
@@ -250,3 +257,40 @@ def split_corrections(g, m, h, scal, lo, hi, usable, dom_ok, rowmiss,
     l2d_f = l2d_f.at[miss_idx].add(l2d_cf)
     wse_f = wse_f.at[miss_idx].add(wse_cf)
     return l2_f, l2d_f, wse_f
+
+
+#: default row-segment width for the corrections sweep (callers clamp to
+#: the row count: ``min(SEG_ROWS_DEFAULT, m_pad)``)
+SEG_ROWS_DEFAULT = 4096
+
+
+def ld_scores_split(g, m, h, scal, lo_dev, hi_dev, usable, dom_ok,
+                    add_sd_zero, rowmiss_dev, rsq_thr, plan, *,
+                    block_size: int, right_k: int, n_samples: int,
+                    dot_dtype: str = "int8"):
+    """Finalized clean-scan + segmented-corrections composition.
+
+    The convenience wrapper bench.py and the scripts use; the pipeline
+    composes the same pieces itself so its progress path can dispatch
+    the corrections ahead of the reported segments, and the streaming
+    driver runs the corrections per chunk band instead.
+    """
+    from .ld_int8 import sym_scan_segment  # noqa: PLC0415
+
+    m_pad = g.shape[0]
+    accs = sym_scan_segment(
+        g, m, h, scal, lo_dev, hi_dev, usable, dom_ok, add_sd_zero,
+        rsq_thr, jnp.int32(0), block_size=block_size, right_k=right_k,
+        n_samples=n_samples, n_scan_blocks=m_pad // block_size,
+        has_missing=False, dot_dtype=dot_dtype)
+    l2_c, ws_c, poi_c, l2d_c, wsd_c, wse_c = accs
+    l2_d, l2d_d, wse_d = split_corrections(
+        g, m, h, scal, lo_dev, hi_dev, usable, dom_ok, rowmiss_dev,
+        rsq_thr, jnp.int32(m_pad),
+        jnp.asarray(plan["miss_idx"]), jnp.asarray(plan["cs"]),
+        jnp.asarray(plan["c_cnt"]), jnp.asarray(plan["xs"]),
+        jnp.asarray(plan["x_cnt"]), seg_rows=plan["seg_rows"],
+        n_segs=plan["n_segs"], p_band=plan["p_band"], p_x=plan["p_x"],
+        n_samples=n_samples, dot_dtype=dot_dtype)
+    return finalize_outputs(l2_c + l2_d, l2d_c + l2d_d, ws_c, wsd_c,
+                            wse_c + wse_d, poi_c, usable, add_sd_zero)

@@ -180,10 +180,9 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
                     # swept in LARGE segments so each big operand is
                     # read once per segment (PERFORMANCE.md ablation:
                     # per-block correction launches are K-loop-bound)
-                    seg_rows = min(4096, m_pad)
                     split_plan = ld_split.plan_split_v2(
-                        rowmiss_h, lo_pad, hi_pad, seg_rows, m_pad)
-                    split_plan["seg_rows"] = seg_rows
+                        rowmiss_h, lo_pad, hi_pad,
+                        min(ld_split.SEG_ROWS_DEFAULT, m_pad), m_pad)
                     log.info("Split-missing engine: %.2f%% contaminated "
                              "rows (P=%d, Px=%d, %d segments)",
                              100.0 * frac, split_plan["p_band"],
@@ -204,6 +203,20 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
                                  else False),
                     dot_dtype=config.int8_dot_dtype)
 
+            # dispatch the δ-corrections FIRST (async) so the progress
+            # ticks below account for the whole pass, not just the scan
+            deltas = None
+            if split_plan is not None:
+                deltas = ld_split.split_corrections(
+                    pre["g"], pre["m"], pre["h"], int8_args[3],
+                    int8_args[4], int8_args[5], pre["usable"], dom_ok,
+                    split_dev[0], int8_args[11], jnp.int32(m_pad),
+                    *split_dev[1:],
+                    seg_rows=split_plan["seg_rows"],
+                    n_segs=split_plan["n_segs"],
+                    p_band=split_plan["p_band"], p_x=split_plan["p_x"],
+                    n_samples=n, dot_dtype=config.int8_dot_dtype)
+
             if progress is not None and n_blocks > 1:
                 n_seg = min(16, n_blocks)
                 seg_blocks = -(-n_blocks // n_seg)
@@ -221,16 +234,8 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
             else:
                 totals = run_segment(0, n_blocks)
             l2_c, ws_c, poi_c, l2d_c, wsd_c, wse_c = totals
-            if split_plan is not None:
-                l2_d, l2d_d, wse_d = ld_split.split_corrections(
-                    pre["g"], pre["m"], pre["h"], int8_args[3],
-                    int8_args[4], int8_args[5], pre["usable"], dom_ok,
-                    split_dev[0], int8_args[11], jnp.int32(m_pad),
-                    *split_dev[1:],
-                    seg_rows=split_plan["seg_rows"],
-                    n_segs=split_plan["n_segs"],
-                    p_band=split_plan["p_band"], p_x=split_plan["p_x"],
-                    n_samples=n, dot_dtype=config.int8_dot_dtype)
+            if deltas is not None:
+                l2_d, l2d_d, wse_d = deltas
                 l2_c = l2_c + l2_d
                 l2d_c = l2d_c + l2d_d
                 wse_c = wse_c + wse_d

@@ -402,7 +402,8 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     # global 8-matmul epilogue
     split_plans = None
     split_p = split_px = 0
-    split_seg = min(4096, band_rows)
+    from .ld_split import SEG_ROWS_DEFAULT  # noqa: PLC0415
+    split_seg = min(SEG_ROWS_DEFAULT, band_rows)
     split_nseg = -(-band_rows // split_seg)
     if (symmetric and annot is None and sample_mesh is None and use_packed
             and config.split_missing is not False):
@@ -447,7 +448,8 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                                     "cs": p["cs"], "c_cnt": p["c_cnt"],
                                     "xs": p["xs"], "x_cnt": p["x_cnt"],
                                     "lo": lo_ext[r0c:r0c + band_rows] - r0c,
-                                    "hi": hi_ext[r0c:r0c + band_rows] - r0c})
+                                    "hi": hi_ext[r0c:r0c + band_rows] - r0c,
+                                    "has_any": bool(rb.any())})
             log.info("Split-missing streaming engine: %.2f%% contaminated "
                      "rows (P=%d, Px=%d, %d band segments)", 100.0 * frac,
                      split_p, split_px, split_nseg)
@@ -655,6 +657,10 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                     block_size=B, right_k=right_k, n_samples=n,
                     n_piv_blocks=n_piv_blocks, has_missing=False,
                     dot_dtype=config.int8_dot_dtype)
+                if not pl["has_any"]:
+                    # band has no contaminated rows: the clean pass is
+                    # already exact — skip the (all-zero) corrections
+                    return pre, (local, tail)
                 l2_d, l2d_d, wse_d = split_corrections(
                     pre["g"], pre["m"], pre["h"], stack_scalars(pre),
                     dev_put(pl["lo"]), dev_put(pl["hi"]), pre["usable"],

@@ -31,10 +31,8 @@ meta = (jnp.asarray(pos_ok), jnp.asarray(lo), jnp.asarray(hi),
 
 rowmiss_h = np.zeros(M, dtype=bool)
 rowmiss_h[::50] = True
-SEG = min(4096, M)
-plan = ld_split.plan_split_v2(rowmiss_h, lo, hi, SEG, M)
-plan_dev = tuple(jnp.asarray(plan[k])
-                 for k in ("miss_idx", "cs", "c_cnt", "xs", "x_cnt"))
+plan = ld_split.plan_split_v2(rowmiss_h, lo, hi,
+                              min(ld_split.SEG_ROWS_DEFAULT, M), M)
 rowmiss_dev = jnp.asarray(rowmiss_h)
 
 for mode in ("clean", "entries", "rows"):
@@ -61,22 +59,10 @@ for mode in ("clean", "entries", "rows"):
         args = (pre["g"], pre["m"], pre["h"], ld_int8.stack_scalars(pre),
                 meta[1], meta[2], pre["usable"], dom_ok, pre["add_sd_zero"])
         if mode == "rows":
-            from nldsc_tpu.ld.ld_xla import finalize_outputs
-            accs = ld_int8.sym_scan_segment(
-                *args, jnp.float32(1e-4), jnp.int32(0), block_size=B,
-                right_k=right_k, n_samples=N, n_scan_blocks=M // B,
-                has_missing=False, dot_dtype="int8")
-            l2_c, ws_c, poi_c, l2d_c, wsd_c, wse_c = accs
-            l2_d, l2d_d, wse_d = ld_split.split_corrections(
-                pre["g"], pre["m"], pre["h"], args[3], meta[1], meta[2],
-                pre["usable"], dom_ok, rowmiss_dev, jnp.float32(1e-4),
-                jnp.int32(M), *plan_dev, seg_rows=SEG,
-                n_segs=plan["n_segs"],
-                p_band=plan["p_band"], p_x=plan["p_x"], n_samples=N,
+            out = ld_split.ld_scores_split(
+                *args, rowmiss_dev, jnp.float32(1e-4), plan,
+                block_size=B, right_k=right_k, n_samples=N,
                 dot_dtype="int8")
-            out = finalize_outputs(l2_c + l2_d, l2d_c + l2d_d, ws_c,
-                                   wsd_c, wse_c + wse_d, poi_c,
-                                   pre["usable"], pre["add_sd_zero"])
         else:
             out = ld_int8.ld_scores_int8_sym(
                 *args, meta[3], meta[4], jnp.float32(1e-4), block_size=B,
