@@ -114,14 +114,19 @@ def tpu_pass(has_missing=False, row_missing=False):
     def full_pass(g_dev):
         pre = ld_int8.preprocess_int8(g_dev, meta[0], jnp.float32(MAF_THR),
                                       n_samples=N,
-                                      assume_no_missing=not any_missing)
+                                      assume_no_missing=not any_missing,
+                                      materialize_m=not row_missing)
         dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(STD_THR))
         args = (pre["g"], pre["m"], pre["h"], ld_int8.stack_scalars(pre),
                 meta[1], meta[2], pre["usable"], dom_ok, pre["add_sd_zero"])
         if row_missing:
             # v2 split: clean scan over all pairs + segmented δ-corrections
+            # (the indicator matrix exists only as the COMPACT rows)
+            m_c = ld_split.compact_missing_rows(
+                g_dev, jnp.asarray(plan["miss_idx"]))
             out = ld_split.ld_scores_split(
-                *args, rowmiss_dev, jnp.float32(RSQ_THR), plan,
+                args[0], m_c, *args[2:], rowmiss_dev,
+                jnp.float32(RSQ_THR), plan,
                 block_size=BLOCK, right_k=right_k, n_samples=N,
                 dot_dtype="int8")
         else:

@@ -127,10 +127,12 @@ def finish_preprocess_int8(n_valid_raw, c1, c2, cm, pos_ok, maf_thr,
     }
 
 
-@partial(jax.jit, static_argnames=("n_samples", "assume_no_missing"))
+@partial(jax.jit, static_argnames=("n_samples", "assume_no_missing",
+                                   "materialize_m"))
 def preprocess_int8(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array,
                     n_samples: int,
-                    assume_no_missing: bool = False) -> dict[str, jax.Array]:
+                    assume_no_missing: bool = False,
+                    materialize_m: bool = True) -> dict[str, jax.Array]:
     """Integer-path preprocessing: keep int8 arrays + per-SNP f32 scalars.
 
     Same statistics contract as :func:`preprocess.preprocess_block` but
@@ -141,6 +143,14 @@ def preprocess_int8(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array,
     returned as-is (no masked copy) and the missing-indicator slot aliases
     ``g`` (it is never read by the no-missing kernel branches), removing
     two of the three O(M·N) int8 materializations.
+
+    ``materialize_m=False`` skips the O(M·N) missing-indicator matrix even
+    on the missing path (``m`` aliases ``g``, dead): for kernels that never
+    read it — the clean scan of the split engine, whose corrections read
+    the indicators only through the COMPACT contaminated rows
+    (:func:`nldsc_tpu.ld.ld_split.compact_missing_rows` rebuilds those from
+    the raw codes) — or as a deferred materialization the caller performs
+    itself with :func:`materialize_missing` once it decides it needs it.
     """
     g = genotypes
 
@@ -153,7 +163,7 @@ def preprocess_int8(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array,
     else:
         valid = g >= 0
         gq = jnp.where(valid, g, 0).astype(jnp.int8)
-        mq = (~valid).astype(jnp.int8)
+        mq = (~valid).astype(jnp.int8) if materialize_m else gq
         hq = jnp.where(valid, 2 * jnp.minimum(g, 1), 0).astype(jnp.int8)
         cm = jnp.sum(~valid, axis=1, dtype=jnp.float32)  # incl padding
         n_valid_raw = jnp.float32(g.shape[1]) - cm
@@ -168,9 +178,23 @@ def preprocess_int8(genotypes: jax.Array, pos_ok: jax.Array, maf_thr: jax.Array,
     out.update({
         "g": gq, "m": mq, "h": hq,
         "has_missing": (jnp.array(False) if assume_no_missing
-                        else jnp.any(mq > 0)),
+                        else jnp.any(cm > jnp.float32(g.shape[1]
+                                                      - n_samples))),
     })
     return out
+
+
+@jax.jit
+def materialize_missing(genotypes: jax.Array) -> jax.Array:
+    """Deferred full (M, N) int8 missing-indicator matrix from raw codes.
+
+    The lazy counterpart of ``preprocess_int8(materialize_m=True)``'s
+    ``m`` output — callers that preprocess with ``materialize_m=False``
+    (hoping to route the split/clean kernels, which never read it) call
+    this on the RAW codes only when the global missing epilogue is
+    actually selected.
+    """
+    return (genotypes < 0).astype(jnp.int8)
 
 
 def stack_scalars(pre: dict) -> jax.Array:

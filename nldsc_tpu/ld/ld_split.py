@@ -89,17 +89,32 @@ def plan_split_v2(rowmiss: np.ndarray, lo: np.ndarray, hi: np.ndarray,
             "n_miss": len(miss), "n_segs": n_segs, "seg_rows": seg_rows}
 
 
+@jax.jit
+def compact_missing_rows(g_raw, miss_idx):
+    """(mm_pad, N) int8 missing indicators for the contaminated rows only.
+
+    Built from the RAW (pre-mask) codes, so callers can preprocess with
+    ``materialize_m=False`` and never pay the full O(M·N) indicator
+    matrix: rows gathered at ``miss_idx`` equal ``m[miss_idx]`` of the
+    materializing path bitwise (padding's trailing ``m_pad - 1`` entries
+    gather an arbitrary row — dead, masked by the plan's counts).
+    """
+    return (jnp.take(g_raw, miss_idx, axis=0) < 0).astype(jnp.int8)
+
+
 @partial(jax.jit, static_argnames=("seg_rows", "n_segs", "p_band", "p_x",
                                    "n_samples", "dot_dtype"))
-def split_corrections(g, m, h, scal, lo, hi, usable, dom_ok, rowmiss,
+def split_corrections(g, m_c, h, scal, lo, hi, usable, dom_ok, rowmiss,
                       rsq_thr, own_hi, miss_idx, cs, c_cnt, xs, x_cnt, *,
                       seg_rows: int, n_segs: int, p_band: int, p_x: int,
                       n_samples: int, dot_dtype: str = "int8"):
     """δ-credit vectors for every pair with a contaminated member.
 
     Returns full-length (l2_δ f32, l2d_δ f32, wse_δ int32) to ADD to the
-    clean pass's un-finalized credits.  ``m`` is read only through its
-    COMPACTED contaminated rows.
+    clean pass's un-finalized credits.  ``m_c`` is the COMPACT
+    (mm_pad, N) missing-indicator matrix for the contaminated rows in
+    ``miss_idx`` order (:func:`compact_missing_rows`) — the kernel never
+    touches a full-M indicator matrix.
 
     ``own_hi``: pair-OWNERSHIP bound — a pair is credited only when its
     left member's index is < own_hi.  In-core callers pass m_pad (own
@@ -120,7 +135,6 @@ def split_corrections(g, m, h, scal, lo, hi, usable, dom_ok, rowmiss,
     S = seg_rows
 
     g_c = jnp.take(g, miss_idx, axis=0)
-    m_c = jnp.take(m, miss_idx, axis=0)
     h_c = jnp.take(h, miss_idx, axis=0)
     scal_c = jnp.take(scal, miss_idx, axis=0)
     usable_c = jnp.take(usable, miss_idx)
@@ -264,7 +278,7 @@ def split_corrections(g, m, h, scal, lo, hi, usable, dom_ok, rowmiss,
 SEG_ROWS_DEFAULT = 4096
 
 
-def ld_scores_split(g, m, h, scal, lo_dev, hi_dev, usable, dom_ok,
+def ld_scores_split(g, m_c, h, scal, lo_dev, hi_dev, usable, dom_ok,
                     add_sd_zero, rowmiss_dev, rsq_thr, plan, *,
                     block_size: int, right_k: int, n_samples: int,
                     dot_dtype: str = "int8"):
@@ -273,19 +287,22 @@ def ld_scores_split(g, m, h, scal, lo_dev, hi_dev, usable, dom_ok,
     The convenience wrapper bench.py and the scripts use; the pipeline
     composes the same pieces itself so its progress path can dispatch
     the corrections ahead of the reported segments, and the streaming
-    driver runs the corrections per chunk band instead.
+    driver runs the corrections per chunk band instead.  ``m_c`` is the
+    COMPACT contaminated-row indicator matrix
+    (:func:`compact_missing_rows` on the raw codes) — no full-M
+    indicator matrix exists anywhere on this path.
     """
     from .ld_int8 import sym_scan_segment  # noqa: PLC0415
 
     m_pad = g.shape[0]
     accs = sym_scan_segment(
-        g, m, h, scal, lo_dev, hi_dev, usable, dom_ok, add_sd_zero,
+        g, g, h, scal, lo_dev, hi_dev, usable, dom_ok, add_sd_zero,
         rsq_thr, jnp.int32(0), block_size=block_size, right_k=right_k,
         n_samples=n_samples, n_scan_blocks=m_pad // block_size,
         has_missing=False, dot_dtype=dot_dtype)
     l2_c, ws_c, poi_c, l2d_c, wsd_c, wse_c = accs
     l2_d, l2d_d, wse_d = split_corrections(
-        g, m, h, scal, lo_dev, hi_dev, usable, dom_ok, rowmiss_dev,
+        g, m_c, h, scal, lo_dev, hi_dev, usable, dom_ok, rowmiss_dev,
         rsq_thr, jnp.int32(m_pad),
         jnp.asarray(plan["miss_idx"]), jnp.asarray(plan["cs"]),
         jnp.asarray(plan["c_cnt"]), jnp.asarray(plan["xs"]),

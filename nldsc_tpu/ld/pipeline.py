@@ -126,9 +126,16 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
 
     if use_int8:
         from . import ld_int8  # noqa: PLC0415
+        # the symmetric XLA route either runs clean-scan + compact split
+        # corrections (m read only through the contaminated rows) or
+        # decides it needs the global epilogue AFTER seeing the per-row
+        # missing counts — defer the O(M·N) indicator materialization to
+        # that decision instead of paying it up front
+        lazy_m = has_missing and symmetric and not config.use_pallas
         pre = ld_int8.preprocess_int8(
             g_dev, jnp.asarray(pos_ok_pad), jnp.float32(config.maf_thr),
-            n_samples=n, assume_no_missing=not has_missing)
+            n_samples=n, assume_no_missing=not has_missing,
+            materialize_m=not lazy_m)
         dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
         int8_args = (
             pre["g"], pre["m"], pre["h"], ld_int8.stack_scalars(pre),
@@ -194,6 +201,13 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
                                  jnp.asarray(split_plan["xs"]),
                                  jnp.asarray(split_plan["x_cnt"]))
 
+            # the deferred indicator matrix: compact rows for the split
+            # path, full only when the global epilogue is truly selected
+            if lazy_m and use_missing and split_plan is None:
+                int8_args = (int8_args[:1]
+                             + (ld_int8.materialize_missing(g_dev),)
+                             + int8_args[2:])
+
             def run_segment(s0: int, nb_s: int):
                 scan_args = int8_args[:9] + (int8_args[11],)
                 return ld_int8.sym_scan_segment(
@@ -207,8 +221,9 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
             # ticks below account for the whole pass, not just the scan
             deltas = None
             if split_plan is not None:
+                m_c = ld_split.compact_missing_rows(g_dev, split_dev[1])
                 deltas = ld_split.split_corrections(
-                    pre["g"], pre["m"], pre["h"], int8_args[3],
+                    pre["g"], m_c, pre["h"], int8_args[3],
                     int8_args[4], int8_args[5], pre["usable"], dom_ok,
                     split_dev[0], int8_args[11], jnp.int32(m_pad),
                     *split_dev[1:],

@@ -641,12 +641,19 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
         if symmetric:
             from . import ld_int8  # noqa: PLC0415
 
+            # the chunk pass reads the indicator matrix only on the
+            # global-missing route; the split route reads it through the
+            # COMPACT contaminated rows — skip the O(band·N) int8
+            # materialization everywhere else (clean chunks included)
+            gb_raw = band_dev()
             pre = ld_int8.preprocess_int8(
-                band_dev(), dev_put(pos_ok_band),
-                jnp.float32(config.maf_thr), n_samples=n)
+                gb_raw, dev_put(pos_ok_band),
+                jnp.float32(config.maf_thr), n_samples=n,
+                materialize_m=(split_plans is None and chunk_has_missing))
             dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
             if split_plans is not None:
-                from .ld_split import split_corrections  # noqa: PLC0415
+                from .ld_split import (  # noqa: PLC0415
+                    compact_missing_rows, split_corrections)
                 from .ld_int8 import stack_scalars  # noqa: PLC0415
 
                 pl = split_plans[ci]
@@ -661,12 +668,14 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                     # band has no contaminated rows: the clean pass is
                     # already exact — skip the (all-zero) corrections
                     return pre, (local, tail)
+                mi_dev = dev_put(pl["miss_idx"])
                 l2_d, l2d_d, wse_d = split_corrections(
-                    pre["g"], pre["m"], pre["h"], stack_scalars(pre),
+                    pre["g"], compact_missing_rows(gb_raw, mi_dev),
+                    pre["h"], stack_scalars(pre),
                     dev_put(pl["lo"]), dev_put(pl["hi"]), pre["usable"],
                     dom_ok, dev_put(pl["rowmiss"]),
                     jnp.float32(config.rsq_thr), jnp.int32(chunk_rows),
-                    dev_put(pl["miss_idx"]), dev_put(pl["cs"]),
+                    mi_dev, dev_put(pl["cs"]),
                     dev_put(pl["c_cnt"]), dev_put(pl["xs"]),
                     dev_put(pl["x_cnt"]), seg_rows=split_seg,
                     n_segs=split_nseg, p_band=split_p, p_x=split_px,
@@ -693,7 +702,8 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
 
             pre = ld_int8.preprocess_int8(
                 band_dev(), dev_put(pos_ok_band),
-                jnp.float32(config.maf_thr), n_samples=n)
+                jnp.float32(config.maf_thr), n_samples=n,
+                materialize_m=chunk_has_missing)
             dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
             accs = _banded_chunk_int8(
                 pre, dom_ok, *chunk_args, annot_b,

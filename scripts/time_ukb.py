@@ -54,14 +54,17 @@ for mode in ("clean", "entries", "rows"):
     def full_pass(g_dev, mode=mode):
         pre = ld_int8.preprocess_int8(g_dev, meta[0], jnp.float32(0.01),
                                       n_samples=N,
-                                      assume_no_missing=mode == "clean")
+                                      assume_no_missing=mode == "clean",
+                                      materialize_m=mode != "rows")
         dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(1e-4))
         args = (pre["g"], pre["m"], pre["h"], ld_int8.stack_scalars(pre),
                 meta[1], meta[2], pre["usable"], dom_ok, pre["add_sd_zero"])
         if mode == "rows":
+            m_c = ld_split.compact_missing_rows(
+                g_dev, jnp.asarray(plan["miss_idx"]))
             out = ld_split.ld_scores_split(
-                *args, rowmiss_dev, jnp.float32(1e-4), plan,
-                block_size=B, right_k=right_k, n_samples=N,
+                args[0], m_c, *args[2:], rowmiss_dev, jnp.float32(1e-4),
+                plan, block_size=B, right_k=right_k, n_samples=N,
                 dot_dtype="int8")
         else:
             out = ld_int8.ld_scores_int8_sym(
