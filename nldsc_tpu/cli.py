@@ -97,11 +97,13 @@ def main(log_file):
 @click.option("--n-devices", metavar="N", type=int, default=None,
               help="Shard the SNP axis over N devices (default: all local "
                    "devices when more than one is visible)")
-@click.option("--shard-axis", type=click.Choice(["snp", "samples"]),
+@click.option("--shard-axis", type=click.Choice(["snp", "samples", "grid"]),
               default="snp",
               help="Multi-device axis: 'snp' (halo-exchange SNP blocks, "
-                   "default) or 'samples' (per-tile psum'd sample shards — "
-                   "for huge N; composes with --streaming)")
+                   "default), 'samples' (per-tile psum'd sample shards — "
+                   "for huge N; composes with --streaming), or 'grid' (2-D "
+                   "snp-x-sample mesh; with --streaming, chunks round-robin "
+                   "over mesh rows while each row sample-shards its chunk)")
 @click.option("--profile-dir", metavar="DIR", default=None,
               help="Capture a jax.profiler trace of the compute pass into "
                    "this directory")
@@ -146,6 +148,7 @@ def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
         symmetric=symmetric, int8_dot_dtype=dot_dtype,
         split_missing=split_missing,
         n_devices=n_devices, shard_samples=(shard_axis == "samples"),
+        shard_grid=(shard_axis == "grid"),
         profile_dir=profile_dir,
         streaming=streaming, chunk_rows=chunk_rows, resume_path=resume_path,
         annot=annot, progress=progress,

@@ -408,6 +408,21 @@ def show_summary(result: dict) -> str:
 STREAMING_BYTES_THRESHOLD = 8 << 30
 
 
+def _grid_shape(n_dev: int) -> tuple[int, int] | None:
+    """Squarest (snp_rows, samp_cols) factorization of the device count.
+
+    Returns None when no 2-D layout exists (n_dev prime or < 4) — callers
+    fall back to 1-D SNP sharding, which a 1-column grid would only
+    re-implement with extra shard_map overhead.
+    """
+    c = max(d for d in range(1, int(n_dev ** 0.5) + 1) if n_dev % d == 0)
+    if c == 1:
+        log.warning("--shard-axis grid: %d devices have no 2-D "
+                    "factorization; using 1-D SNP sharding", n_dev)
+        return None
+    return n_dev // c, c
+
+
 def _progress_logger():
     """Percent/elapsed/ETA logger for :func:`compute_ld_scores` progress."""
     t0 = time.time()
@@ -443,6 +458,7 @@ def estimate_lds(
     resume_path: str | None = None,
     n_devices: int | None = None,
     shard_samples: bool = False,
+    shard_grid: bool = False,
     profile_dir: str | None = None,
     annot: str | None = None,
     use_int8: bool | None = None,
@@ -467,6 +483,10 @@ def estimate_lds(
     shards the SAMPLE axis instead (per-tile psum of the integer
     S-matrices — the right axis when N, not M, dominates; composes with
     ``streaming`` for the full 2-D M-streamed × N-scattered scale-out);
+    ``shard_grid=True`` lays the devices out as a 2-D (snp × samp) mesh —
+    in-core the grid engine (halo exchange × sample psums), streaming
+    the 3-axis composition (M streamed, chunks round-robined over mesh
+    rows, each row sample-sharding its chunk);
     ``profile_dir`` captures a ``jax.profiler`` trace of the compute pass.
     """
     ds = PlinkDataset.parse(bfile)
@@ -526,7 +546,18 @@ def estimate_lds(
 
             avail_dev = jax.devices()
             n_dev = len(avail_dev) if n_devices is None else n_devices
-            if shard_samples and n_dev > 1:
+            grid_shape = _grid_shape(n_dev) if shard_grid else None
+            if grid_shape is not None and n_dev > 1:
+                from ..parallel.grid_sharded import grid_mesh  # noqa: PLC0415
+
+                r, c = grid_shape
+                log.info("Running the TPU LD estimator (streaming, chunk=%d "
+                         "rows, %dx%d snp-x-sample GRID)...",
+                         chunk_rows, r, c)
+                result = compute_ld_scores_streaming(
+                    ds.bed, positions, config, chunk_rows=chunk_rows,
+                    resume_path=resume_path, grid=grid_mesh(r, c))
+            elif shard_samples and n_dev > 1:
                 from ..parallel import snp_mesh  # noqa: PLC0415
 
                 log.info("Running the TPU LD estimator (streaming, chunk=%d "
@@ -545,7 +576,18 @@ def estimate_lds(
         else:
             avail = len(jax.devices())
             n_dev = avail if n_devices is None else n_devices
-            if n_dev > 1 and avail > 1 and shard_samples:
+            grid_shape = _grid_shape(n_dev) if shard_grid else None
+            if n_dev > 1 and avail > 1 and grid_shape is not None:
+                from ..parallel.grid_sharded import (  # noqa: PLC0415
+                    grid_mesh, ld_scores_grid_sharded)
+
+                r, c = grid_shape
+                log.info("Running the TPU LD estimator (%dx%d snp-x-sample "
+                         "GRID mesh)...", r, c)
+                result = ld_scores_grid_sharded(
+                    ds.bed.read_block(0, ds.n_snp), positions, config,
+                    grid_mesh(r, c))
+            elif n_dev > 1 and avail > 1 and shard_samples:
                 from ..parallel import (  # noqa: PLC0415
                     ld_scores_sample_sharded, snp_mesh)
 

@@ -318,7 +318,7 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                                 chunk_rows: int = 8192,
                                 resume_path: str | None = None,
                                 devices=None, annot=None,
-                                sample_mesh=None) -> dict:
+                                sample_mesh=None, grid=None) -> dict:
     """Streamed LD scores from a :class:`BedReader` (out-of-core in M).
 
     Same result contract as ``pipeline.compute_ld_scores``.  ``chunk_rows``
@@ -343,12 +343,34 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     scale-out when one chromosome's band row (N samples) dominates device
     memory or compute — each device holds/contracts only N/d samples.
     Mutually exclusive with ``devices``; integer symmetric engine only.
+
+    ``grid``: optional 2-D ``Mesh`` of shape (snp_groups, samp_shards) —
+    the full out-of-core 3-axis scale: M streamed from disk, chunks
+    round-robined over the ``snp_groups`` mesh rows (each row a
+    self-contained sample submesh, up to ``snp_groups`` chunks in
+    flight), and each chunk's SAMPLE axis scattered over its row with
+    exact integer psums.  Mutually exclusive with ``devices`` and
+    ``sample_mesh``; integer symmetric engine only.  Each row submesh
+    compiles its own executable (identical program, different device
+    group) — ``snp_groups`` compiles total.
     """
     m, n = bed.n_snp, bed.n_samples
     B = config.block_size
     chunk_rows = max(B, (chunk_rows // B) * B)
     m_pad = -(-m // B) * B
-    d_samp = sample_mesh.devices.size if sample_mesh is not None else 1
+    if grid is not None:
+        if sample_mesh is not None or devices:
+            raise ValueError("grid is mutually exclusive with sample_mesh "
+                             "and devices")
+        from jax.sharding import Mesh  # noqa: PLC0415
+
+        d_samp = grid.devices.shape[1]
+        samp_axis = grid.axis_names[1]
+        samp_meshes = [Mesh(grid.devices[i], (samp_axis,))
+                       for i in range(grid.devices.shape[0])]
+    else:
+        d_samp = sample_mesh.devices.size if sample_mesh is not None else 1
+        samp_meshes = [sample_mesh] if sample_mesh is not None else None
     n_pad = -(-n // (128 * d_samp)) * (128 * d_samp)
 
     lo, hi, pos_ok = windows.window_bounds(positions, config.ld_wind)
@@ -364,8 +386,8 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     # in the shard files as `tail`)
     symmetric = ((config.symmetric if config.symmetric is not None else True)
                  and use_int8)
-    if sample_mesh is not None:
-        if devices:
+    if samp_meshes is not None:
+        if sample_mesh is not None and devices:
             raise ValueError("sample_mesh and devices are mutually "
                              "exclusive — the mesh already uses its devices")
         if annot is not None:
@@ -405,7 +427,7 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     from .ld_split import SEG_ROWS_DEFAULT  # noqa: PLC0415
     split_seg = min(SEG_ROWS_DEFAULT, band_rows)
     split_nseg = -(-band_rows // split_seg)
-    if (symmetric and annot is None and sample_mesh is None and use_packed
+    if (symmetric and annot is None and samp_meshes is None and use_packed
             and config.split_missing is not False):
         from ..io.plink import scan_rowmiss  # noqa: PLC0415
         from .ld_split import plan_split_v2  # noqa: PLC0415
@@ -549,7 +571,7 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     # 128-sample (32-byte) lanes per shard; padding bytes are 0x55
     # (missing bitpairs) and the device unpack masks them anyway
     bps_pad = (-(-bed.bytes_per_snp // (32 * d_samp)) * (32 * d_samp)
-               if (use_packed and sample_mesh is not None)
+               if (use_packed and samp_meshes is not None)
                else (bed.bytes_per_snp if use_packed else 0))
 
     def read_band(ci):
@@ -581,9 +603,12 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     from collections import deque  # noqa: PLC0415
     from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
-    if not devices:
-        devices = [None]
-    n_dev = len(devices)
+    # the dispatch ring: one slot per independent device resource —
+    # plain devices (round-robin chunks), ONE sample mesh (all devices
+    # cooperate on every chunk), or the grid's row submeshes (chunks
+    # round-robin over rows, each row sample-shards its chunk)
+    ring = samp_meshes if samp_meshes is not None else (devices or [None])
+    n_dev = len(ring)
     n_piv_blocks = chunk_rows // B
 
     def dispatch(ci, band, dev):
@@ -604,22 +629,23 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                 return unpack_bed(gb, n_samples=n, n_pad=n_pad, pad_val=-1)
             return gb
 
-        if sample_mesh is not None:
+        if samp_meshes is not None:
             from jax.sharding import NamedSharding  # noqa: PLC0415
             from jax.sharding import PartitionSpec as P  # noqa: PLC0415
 
             from ..parallel.sample_sharded import (  # noqa: PLC0415
                 sample_sharded_chunk_sym)
 
-            cols = NamedSharding(sample_mesh,
-                                 P(None, sample_mesh.axis_names[0]))
+            mesh_c = dev                # this chunk's sample (sub)mesh
+            cols = NamedSharding(mesh_c,
+                                 P(None, mesh_c.axis_names[0]))
             raw_dev = jax.device_put(g_band, cols)
             local, tail, usable, add_sd_zero, maf, rstd = \
                 sample_sharded_chunk_sym(
                     raw_dev, jnp.asarray(pos_ok_band),
                     jnp.asarray(lo_pad[p0:p1]), jnp.asarray(hi_pad[p0:p1]),
                     jnp.int32(p0), jnp.int32(m_pad),
-                    jnp.float32(config.rsq_thr), mesh=sample_mesh,
+                    jnp.float32(config.rsq_thr), mesh=mesh_c,
                     packed=use_packed, maf_thr=float(config.maf_thr),
                     std_thr=float(config.std_thr), n_samples=n,
                     n_pad_total=n_pad, block_size=B, right_k=right_k,
@@ -827,7 +853,7 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
         if idx + 1 < len(todo):
             prefetch = pool.submit(read_band, todo[idx + 1])
 
-        in_flight.append((ci, *dispatch(ci, band, devices[idx % n_dev])))
+        in_flight.append((ci, *dispatch(ci, band, ring[idx % n_dev])))
         # keep one rotation of chunks in flight (all devices busy), then
         # collect the oldest before reusing its device
         while len(in_flight) >= n_dev + 1:

@@ -181,6 +181,38 @@ def test_cli_shard_axis_samples(toy_bfile, tmp_path):
                                    equal_nan=True)
 
 
+def test_cli_shard_axis_grid(toy_bfile, tmp_path):
+    # --shard-axis grid routes the in-core 2-D (snp x samp) mesh engine
+    # (and with --streaming, the chunk-ring of sample submeshes); both
+    # must match the default engine's output
+    from click.testing import CliRunner
+
+    from nldsc_tpu.cli import main
+
+    prefix, *_ = toy_bfile
+    runner = CliRunner()
+    out_def = str(tmp_path / "gdef.L2")
+    out_grid = str(tmp_path / "grid.L2")
+    out_gs = str(tmp_path / "gstream.L2")
+    base_args = ["ld", "--bfile", prefix, "-kb", "10", "-maf", "0.01",
+                 "--block-size", "64", "--display"]
+    res = runner.invoke(main, [*base_args, "-o", out_def])
+    assert res.exit_code == 0, res.output
+    res = runner.invoke(main, [*base_args, "-o", out_grid,
+                               "--shard-axis", "grid", "--n-devices", "4"])
+    assert res.exit_code == 0, res.output
+    res = runner.invoke(main, [*base_args, "-o", out_gs, "--streaming",
+                               "--chunk-rows", "128",
+                               "--shard-axis", "grid", "--n-devices", "4"])
+    assert res.exit_code == 0, res.output
+    a = pd.read_csv(out_def, sep="\t")
+    for path in (out_grid, out_gs):
+        b = pd.read_csv(path, sep="\t")
+        for col in ("L2", "L2D"):
+            np.testing.assert_allclose(b[col], a[col], rtol=1e-4, atol=1e-4,
+                                       equal_nan=True)
+
+
 def test_cli_requires_one_window(toy_bfile):
     from click.testing import CliRunner
 

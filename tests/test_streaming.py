@@ -187,6 +187,43 @@ def test_streaming_multi_device_matches_dense(tmp_path, rng):
     _assert_same(multi_ck, dense)
 
 
+def test_streaming_grid_matches_dense(tmp_path, rng):
+    # the 3-axis composition: M streamed from disk, chunks round-robined
+    # over the grid's snp rows, each row sample-sharding its chunk band.
+    # Sample psums are exact integer sums and chunk geometry is
+    # layout-independent, so results must be BITWISE identical across
+    # grid layouts and equal to the dense engine to summation ulps.
+    from nldsc_tpu.parallel.grid_sharded import grid_mesh
+
+    g, pos, bed = _setup(tmp_path, rng, m=400)
+    cfg = LDConfig(ld_wind=8000, wind_metric="bp", maf_thr=0.01,
+                   std_thr=1e-4, rsq_thr=1e-3, block_size=16)
+    dense = compute_ld_scores(g, pos.astype(np.float64), cfg)
+    res = {}
+    for shape in ((4, 2), (2, 4)):
+        res[shape] = compute_ld_scores_streaming(
+            bed, pos.astype(np.float64), cfg, chunk_rows=64,
+            grid=grid_mesh(*shape))
+        _assert_same(res[shape], dense)
+    for k in ("l2", "l2d"):
+        np.testing.assert_array_equal(res[(4, 2)][k], res[(2, 4)][k],
+                                      err_msg=f"{k} not layout-invariant")
+
+    # grid composes with checkpoint/resume like every other layout
+    ck = str(tmp_path / "gridck")
+    ck_res = compute_ld_scores_streaming(
+        bed, pos.astype(np.float64), cfg, chunk_rows=64,
+        grid=grid_mesh(4, 2), resume_path=ck)
+    _assert_same(ck_res, dense)
+
+    # mutual exclusions
+    import jax
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compute_ld_scores_streaming(
+            bed, pos.astype(np.float64), cfg, chunk_rows=64,
+            grid=grid_mesh(4, 2), devices=jax.devices())
+
+
 def test_streaming_symmetric_wide_halo(tmp_path, rng):
     # symmetric streaming with halo spanning MULTIPLE chunks: column
     # credits must carry across 3+ chunk boundaries
