@@ -181,11 +181,18 @@ def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
 @click.option("--streaming/--no-streaming", "streaming", default=None,
               help="Force the out-of-core engine on/off (default: auto)")
 @click.option("--chunk-rows", metavar="R", type=int, default=8192)
+@click.option("--n-devices", metavar="N", type=int, default=None,
+              help="Devices per chromosome run (default: all local)")
+@click.option("--shard-axis", type=click.Choice(["snp", "samples", "grid"]),
+              default="snp",
+              help="Per-chromosome multi-device axis (see `ld`); "
+                   "chromosomes still round-robin over hosts")
 @click.option("--display", is_flag=True, default=False,
               help="Display traceback")
 @handle_exception
 def est_ld_genome(bfiles, out_dir, ld_wind_kb, ld_wind_cm, maf_thr,
-                  std_thr, rsq_thr, extra, streaming, chunk_rows):
+                  std_thr, rsq_thr, extra, streaming, chunk_rows,
+                  n_devices, shard_axis):
     import glob as globmod  # noqa: PLC0415
     import os  # noqa: PLC0415
     import re  # noqa: PLC0415
@@ -224,7 +231,9 @@ def est_ld_genome(bfiles, out_dir, ld_wind_kb, ld_wind_cm, maf_thr,
         estimate_lds(prefix, ld_wind=ld_wind, wind_metric=wind_metric,
                      maf_thr=maf_thr, std_thr=std_thr, rsq_thr=rsq_thr,
                      out=out, extra=extra, streaming=streaming,
-                     chunk_rows=chunk_rows)
+                     chunk_rows=chunk_rows, n_devices=n_devices,
+                     shard_samples=(shard_axis == "samples"),
+                     shard_grid=(shard_axis == "grid"))
     log.info("ld-genome: %d chromosomes done", len(mine))
 
 

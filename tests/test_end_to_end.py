@@ -296,11 +296,13 @@ def test_cli_ld_genome(tmp_path, rng):
         np.testing.assert_allclose(got["L2"], ref["L2"].round(5),
                                    atol=1e-5, equal_nan=True)
 
-    # comma list form + window-option validation
+    # comma list form + window-option validation + per-chromosome
+    # sharding flags forwarded
     res = runner.invoke(main, ["ld-genome", "--bfiles",
                                ",".join(prefixes), "--out-dir",
                                str(tmp_path / "out2"), "-kb", "30",
-                               "-maf", "0.01", "--display"])
+                               "-maf", "0.01", "--display",
+                               "--shard-axis", "grid", "--n-devices", "4"])
     assert res.exit_code == 0, res.output
     res = runner.invoke(main, ["ld-genome", "--bfiles", prefixes[0],
                                "--out-dir", out_dir])
