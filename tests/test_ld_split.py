@@ -151,6 +151,29 @@ def test_split_streaming_resume(tmp_path, rng):
                                     chunk_rows=64, resume_path=resume)
 
 
+def test_compact_missing_rows_matches_materialized(rng):
+    """compact_missing_rows(raw, miss_idx) must equal the materialized
+    indicator matrix's gathered rows BITWISE (including padding rows,
+    which are all-missing under pad_val=-1)."""
+    import jax.numpy as jnp
+
+    from nldsc_tpu.ld.ld_int8 import preprocess_int8
+    from nldsc_tpu.ld.ld_split import compact_missing_rows
+
+    m, n = 96, 130
+    g = random_genotypes(rng, m, n, missing_rate=0.1)
+    g_pad = np.full((128, 256), -1, dtype=np.int8)
+    g_pad[:m, :n] = g
+    g_dev = jnp.asarray(g_pad)
+    pre = preprocess_int8(g_dev, jnp.ones(128, bool), jnp.float32(0.01),
+                          n_samples=n)
+    miss_idx = np.flatnonzero((g_pad < 0).any(axis=1)).astype(np.int32)
+    miss_idx = np.concatenate([miss_idx, np.full(8, 127, np.int32)])
+    m_c = compact_missing_rows(g_dev, jnp.asarray(miss_idx))
+    np.testing.assert_array_equal(np.asarray(m_c),
+                                  np.asarray(pre["m"])[miss_idx])
+
+
 def test_split_unusable_contaminated_rows_only(rng):
     """Missing confined to MAF-dropped rows: clean epilogue is exact and
     the pipeline must notice (use_missing demotion path)."""
