@@ -187,12 +187,20 @@ def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
               default="snp",
               help="Per-chromosome multi-device axis (see `ld`); "
                    "chromosomes still round-robin over hosts")
+@click.option("--annot", metavar="FILE", default=None,
+              help="Per-SNP annotation file for PARTITIONED LD (matched to "
+                   "each bfile by SNP id; genome-wide files work — SNPs "
+                   "absent from a chromosome contribute zero rows)")
+@click.option("--resume-dir", "resume_dir", metavar="DIR", default=None,
+              help="Checkpoint root for chunk-granular resume: each "
+                   "chromosome checkpoints into <DIR>/<bfile-basename>/ "
+                   "(streaming engine)")
 @click.option("--display", is_flag=True, default=False,
               help="Display traceback")
 @handle_exception
 def est_ld_genome(bfiles, out_dir, ld_wind_kb, ld_wind_cm, maf_thr,
                   std_thr, rsq_thr, extra, streaming, chunk_rows,
-                  n_devices, shard_axis):
+                  n_devices, shard_axis, annot, resume_dir):
     import glob as globmod  # noqa: PLC0415
     import os  # noqa: PLC0415
     import re  # noqa: PLC0415
@@ -228,12 +236,15 @@ def est_ld_genome(bfiles, out_dir, ld_wind_kb, ld_wind_cm, maf_thr,
     for i, prefix in enumerate(mine):
         out = os.path.join(out_dir, os.path.basename(prefix) + ".L2")
         log.info("[%d/%d] %s -> %s", i + 1, len(mine), prefix, out)
+        resume_path = (os.path.join(resume_dir, os.path.basename(prefix))
+                       if resume_dir else None)
         estimate_lds(prefix, ld_wind=ld_wind, wind_metric=wind_metric,
                      maf_thr=maf_thr, std_thr=std_thr, rsq_thr=rsq_thr,
                      out=out, extra=extra, streaming=streaming,
                      chunk_rows=chunk_rows, n_devices=n_devices,
                      shard_samples=(shard_axis == "samples"),
-                     shard_grid=(shard_axis == "grid"))
+                     shard_grid=(shard_axis == "grid"),
+                     annot=annot, resume_path=resume_path)
     log.info("ld-genome: %d chromosomes done", len(mine))
 
 

@@ -329,3 +329,25 @@ def test_cli_ld_genome(tmp_path, rng):
                                f"{prefixes[0]},{sub / 'chr20'}",
                                "--out-dir", out3, "-kb", "30"])
     assert res.exit_code != 0 and not os.path.isdir(out3)
+
+    # genome-wide --annot (SNPs of BOTH chromosomes in one file; absent
+    # ones zero-fill) + per-chromosome --resume-dir checkpoints
+    bim = pd.read_csv(prefixes[0] + ".bim", sep="\t", header=None)
+    snps = list(bim[1])
+    annot_path = str(tmp_path / "genome.annot")
+    pd.DataFrame({"SNP": snps,
+                  "CAT": rng.integers(0, 2, len(snps))}).to_csv(
+        annot_path, sep="\t", index=False)
+    out4 = str(tmp_path / "out4")
+    ck = str(tmp_path / "ck")
+    res = runner.invoke(main, ["ld-genome", "--bfiles",
+                               ",".join(prefixes), "--out-dir", out4,
+                               "-kb", "30", "-maf", "0.01", "--display",
+                               "--annot", annot_path, "--streaming",
+                               "--chunk-rows", "64", "--resume-dir", ck])
+    assert res.exit_code == 0, res.output
+    for p in prefixes:
+        got = pd.read_csv(os.path.join(out4, os.path.basename(p) + ".L2"),
+                          sep="\t")
+        assert "CAT.L2" in got.columns
+        assert os.path.isdir(os.path.join(ck, os.path.basename(p)))
