@@ -105,7 +105,8 @@ def compact_missing_rows(g_raw, miss_idx):
 @partial(jax.jit, static_argnames=("seg_rows", "n_segs", "p_band", "p_x",
                                    "n_samples", "dot_dtype"))
 def split_corrections(g, m_c, h, scal, lo, hi, usable, dom_ok, rowmiss,
-                      rsq_thr, own_hi, miss_idx, cs, c_cnt, xs, x_cnt, *,
+                      rsq_thr, own_hi, miss_idx, cs, c_cnt, xs, x_cnt,
+                      annot=None, *,
                       seg_rows: int, n_segs: int, p_band: int, p_x: int,
                       n_samples: int, dot_dtype: str = "int8"):
     """δ-credit vectors for every pair with a contaminated member.
@@ -115,6 +116,14 @@ def split_corrections(g, m_c, h, scal, lo, hi, usable, dom_ok, rowmiss,
     (mm_pad, N) missing-indicator matrix for the contaminated rows in
     ``miss_idx`` order (:func:`compact_missing_rows`) — the kernel never
     touches a full-M indicator matrix.
+
+    ``annot``: optional f32 (M_pad, p) annotation matrix.  Extends the
+    return with (l2a_δ, l2da_δ) — (M_pad, p) per-annotation δ-credits to
+    ADD to the clean symmetric annot scan's accumulators
+    (``sym_scan_segment(annot=...)``): each corrected pair's δ weighted
+    by its NEIGHBOR's annotation row, both directions (the same per-pair
+    semantics as the clean scan's four skinny contractions,
+    ``ldscalc.h:38-47`` weighted per annotation).
 
     ``own_hi``: pair-OWNERSHIP bound — a pair is credited only when its
     left member's index is < own_hi.  In-core callers pass m_pad (own
@@ -139,6 +148,7 @@ def split_corrections(g, m_c, h, scal, lo, hi, usable, dom_ok, rowmiss,
     scal_c = jnp.take(scal, miss_idx, axis=0)
     usable_c = jnp.take(usable, miss_idx)
     dom_ok_c = jnp.take(dom_ok, miss_idx)
+    a_c = None if annot is None else jnp.take(annot, miss_idx, axis=0)
 
     def sl(v, at, size):
         return lax.dynamic_slice_in_dim(v, at, size)
@@ -151,7 +161,7 @@ def split_corrections(g, m_c, h, scal, lo, hi, usable, dom_ok, rowmiss,
         return lax.dynamic_update_slice_in_dim(full, cur + vals, at, 0)
 
     def step(carry, s):
-        l2_f, l2d_f, wse_f, l2_cf, l2d_cf, wse_cf = carry
+        l2_f, l2d_f, wse_f, l2_cf, l2d_cf, wse_cf = carry[:6]
         s0 = jnp.minimum(s * S, m_pad - S)      # clamped; overlap masked
         xidx = s0 + jnp.arange(S, dtype=i32)
         xvalid = (xidx >= s * S)[:, None]
@@ -258,19 +268,57 @@ def split_corrections(g, m_c, h, scal, lo, hi, usable, dom_ok, rowmiss,
             wse_cf, c0,
             jnp.sum(jnp.where(dmB, (aDbx > rsq_thr).astype(i32)
                               - (aDb0 > rsq_thr).astype(i32), 0), axis=0))
-        return (l2_f, l2d_f, wse_f, l2_cf, l2d_cf, wse_cf), None
+        if annot is None:
+            return (l2_f, l2d_f, wse_f, l2_cf, l2d_cf, wse_cf), None
+
+        # partitioned δ-credits: same four skinny contractions as the
+        # clean scan's annot epilogue (sym_scan_segment), on the δ values
+        # — precision 'high' to match its bf16x3 accuracy choice
+        l2a_f, l2da_f, l2a_cf, l2da_cf = carry[6:]
+        a_x = lax.dynamic_slice_in_dim(annot, s0, S, axis=0)       # (S, p)
+        a_cc = lax.dynamic_slice_in_dim(a_c, c0, p_band, axis=0)   # (P, p)
+
+        def credit2(full, at, vals):
+            cur = lax.dynamic_slice_in_dim(full, at, vals.shape[0], axis=0)
+            return lax.dynamic_update_slice_in_dim(full, cur + vals, at, 0)
+
+        dotp = partial(jnp.dot, precision="high",
+                       preferred_element_type=jnp.float32)
+
+        def dot_ct(tile, a_rows):          # (S, P)ᵀ · (S, p) -> (P, p)
+            return lax.dot_general(tile, a_rows, (((0,), (0,)), ((), ())),
+                                   precision="high",
+                                   preferred_element_type=jnp.float32)
+
+        l2a_f = credit2(l2a_f, s0, dotp(d_add * pair, a_cc))
+        l2da_f = credit2(l2da_f, s0, dotp((aDax - aDa0) * dmA, a_cc))
+        l2a_cf = credit2(l2a_cf, c0, dot_ct(d_add * mirror, a_x))
+        l2da_cf = credit2(l2da_cf, c0, dot_ct((aDbx - aDb0) * dmB, a_x))
+        return (l2_f, l2d_f, wse_f, l2_cf, l2d_cf, wse_cf,
+                l2a_f, l2da_f, l2a_cf, l2da_cf), None
 
     mm_pad = miss_idx.shape[0]
     zf = jnp.zeros(m_pad, jnp.float32)
     zi = jnp.zeros(m_pad, i32)
     init = (zf, zf, zi, jnp.zeros(mm_pad, jnp.float32),
             jnp.zeros(mm_pad, jnp.float32), jnp.zeros(mm_pad, i32))
-    (l2_f, l2d_f, wse_f, l2_cf, l2d_cf, wse_cf), _ = lax.scan(
-        step, init, jnp.arange(n_segs, dtype=i32))
+    if annot is not None:
+        p = annot.shape[1]
+        init = init + (jnp.zeros((m_pad, p), jnp.float32),
+                       jnp.zeros((m_pad, p), jnp.float32),
+                       jnp.zeros((mm_pad, p), jnp.float32),
+                       jnp.zeros((mm_pad, p), jnp.float32))
+    carry, _ = lax.scan(step, init, jnp.arange(n_segs, dtype=i32))
+    l2_f, l2d_f, wse_f, l2_cf, l2d_cf, wse_cf = carry[:6]
     l2_f = l2_f.at[miss_idx].add(l2_cf)
     l2d_f = l2d_f.at[miss_idx].add(l2d_cf)
     wse_f = wse_f.at[miss_idx].add(wse_cf)
-    return l2_f, l2d_f, wse_f
+    if annot is None:
+        return l2_f, l2d_f, wse_f
+    l2a_f, l2da_f, l2a_cf, l2da_cf = carry[6:]
+    l2a_f = l2a_f.at[miss_idx].add(l2a_cf)
+    l2da_f = l2da_f.at[miss_idx].add(l2da_cf)
+    return l2_f, l2d_f, wse_f, l2a_f, l2da_f
 
 
 #: default row-segment width for the corrections sweep (callers clamp to

@@ -30,6 +30,19 @@ from . import ld_xla, preprocess, windows
 #: eager call would pay one runtime dispatch per jnp op)
 _finalize_jit = jax.jit(ld_xla.finalize_outputs)
 
+_finalize_annot_cache = None
+
+
+def _finalize_annot_jit():
+    """Lazily-created shared jit of ``ld_int8.finalize_annot`` (module
+    import deferred like the engine imports; one wrapper so the jit cache
+    is shared across calls)."""
+    global _finalize_annot_cache
+    if _finalize_annot_cache is None:
+        from . import ld_int8  # noqa: PLC0415
+        _finalize_annot_cache = jax.jit(ld_int8.finalize_annot)
+    return _finalize_annot_cache
+
 
 def _pad_to(x: np.ndarray, size: int, fill) -> np.ndarray:
     if x.shape[0] == size:
@@ -52,8 +65,8 @@ def to_host_result(l2, l2d, ws, wsd, wse, maf, rstd, m: int) -> dict:
 
 
 def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
-                      config: LDConfig, *, device=None,
-                      progress=None) -> dict:
+                      config: LDConfig, *, annot: np.ndarray | None = None,
+                      device=None, progress=None) -> dict:
     """LD scores for an in-core genotype matrix.
 
     Parameters
@@ -61,6 +74,15 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
     genotypes : int8 (M, N) codes {0,1,2,-1}
     positions : float64 (M,); negative = skip sentinel
     config : LDConfig with ``rsq_thr`` resolved
+    annot : optional float (M, p) annotation matrix — partitioned LD.
+        Extends the result with ``l2_annot``/``l2d_annot`` (M, p) arrays.
+        Engine routing (measured, scripts/time_annot.py): clean annot
+        runs FULL-BAND (the symmetric scan serializes the skinny annot
+        contractions; lax.map overlaps them), annot with missing data
+        runs the SYMMETRIC form so the split-missing corrections compose
+        (their δ-credits extend to the annot accumulators).  Explicit
+        ``config.symmetric`` overrides.  Pallas kernels carry no annot
+        epilogue — annot requests fall back to the XLA engines.
     progress : optional callable ``progress(done_rows, total_rows)`` —
         when given (and the default int8-symmetric engine is selected) the
         pass is dispatched in pivot segments with a completion fetch after
@@ -98,6 +120,16 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
     use_int8 = config.use_int8 if config.use_int8 is not None else True
     pad_val = np.int8(-1) if (has_missing or not use_int8) else np.int8(0)
 
+    use_pallas = config.use_pallas
+    if annot is not None and use_pallas:
+        log.warning("Pallas kernels have no annot epilogue; running the "
+                    "partitioned pass through the XLA engine instead")
+        use_pallas = False
+    a_dev = (None if annot is None else
+             jnp.asarray(_pad_to(np.ascontiguousarray(annot,
+                                                      dtype=np.float32),
+                                 m_pad, 0.0), device=device))
+
     pos_ok_pad = _pad_to(pos_ok, m_pad, False)
     lo_pad = _pad_to(lo, m_pad, np.int32(m_pad))   # empty window for padding
     hi_pad = _pad_to(hi, m_pad, np.int32(-1))
@@ -121,8 +153,16 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
 
     # measured on v5e (scripts/time_sym2.py, M=N=16384, W=1000): the
     # one-pass symmetric engine beats full-band BOTH with and without
-    # missing data (435k vs 397k / 256k vs 237k SNPs/s) -> default always
-    symmetric = config.symmetric if config.symmetric is not None else True
+    # missing data (435k vs 397k / 256k vs 237k SNPs/s) -> default always.
+    # Annot flips the clean default to full-band (scripts/time_annot.py:
+    # 71 vs 91 ms — the annot contractions sit on the symmetric scan's
+    # critical path) but keeps symmetric when missing data makes the
+    # split-corrections composition available.
+    if annot is None:
+        symmetric = config.symmetric if config.symmetric is not None else True
+    else:
+        symmetric = (config.symmetric if config.symmetric is not None
+                     else has_missing)
 
     if use_int8:
         from . import ld_int8  # noqa: PLC0415
@@ -131,7 +171,7 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
         # decides it needs the global epilogue AFTER seeing the per-row
         # missing counts — defer the O(M·N) indicator materialization to
         # that decision instead of paying it up front
-        lazy_m = has_missing and symmetric and not config.use_pallas
+        lazy_m = has_missing and symmetric and not use_pallas
         pre = ld_int8.preprocess_int8(
             g_dev, jnp.asarray(pos_ok_pad), jnp.float32(config.maf_thr),
             n_samples=n, assume_no_missing=not has_missing,
@@ -142,7 +182,7 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
             jnp.asarray(lo_pad), jnp.asarray(hi_pad), pre["usable"], dom_ok,
             pre["add_sd_zero"], jnp.asarray(blk_lo), jnp.asarray(blk_hi),
             jnp.float32(config.rsq_thr))
-        if config.use_pallas and symmetric:
+        if use_pallas and symmetric:
             from . import ld_pallas_sym  # noqa: PLC0415
             right_k = windows.right_band_blocks(blk_hi, B)
             l2, l2d, ws, wsd, wse = ld_pallas_sym.ld_scores_pallas_int8_sym(
@@ -150,7 +190,7 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
                 block_size=B, right_k=right_k, n_samples=n,
                 sample_chunk=config.sample_chunk, interpret=config.interpret,
                 has_missing=has_missing, dot_dtype=config.int8_dot_dtype)
-        elif config.use_pallas:
+        elif use_pallas:
             from . import ld_pallas_int8  # noqa: PLC0415
             l2, l2d, ws, wsd, wse = ld_pallas_int8.ld_scores_pallas_int8(
                 *int8_args[:-1], rsq_thr=float(config.rsq_thr),
@@ -211,7 +251,7 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
             def run_segment(s0: int, nb_s: int):
                 scan_args = int8_args[:9] + (int8_args[11],)
                 return ld_int8.sym_scan_segment(
-                    *scan_args, jnp.int32(s0), block_size=B,
+                    *scan_args, jnp.int32(s0), a_dev, block_size=B,
                     right_k=right_k, n_samples=n, n_scan_blocks=nb_s,
                     has_missing=(use_missing if split_plan is None
                                  else False),
@@ -226,7 +266,7 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
                     pre["g"], m_c, pre["h"], int8_args[3],
                     int8_args[4], int8_args[5], pre["usable"], dom_ok,
                     split_dev[0], int8_args[11], jnp.int32(m_pad),
-                    *split_dev[1:],
+                    *split_dev[1:], a_dev,
                     seg_rows=split_plan["seg_rows"],
                     n_segs=split_plan["n_segs"],
                     p_band=split_plan["p_band"], p_x=split_plan["p_x"],
@@ -248,20 +288,38 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
                     progress(done, m)
             else:
                 totals = run_segment(0, n_blocks)
-            l2_c, ws_c, poi_c, l2d_c, wsd_c, wse_c = totals
+            l2_c, ws_c, poi_c, l2d_c, wsd_c, wse_c = totals[:6]
+            l2a_c = l2da_c = None
+            if a_dev is not None:
+                l2a_c, l2da_c = totals[6:]
             if deltas is not None:
-                l2_d, l2d_d, wse_d = deltas
+                l2_d, l2d_d, wse_d = deltas[:3]
                 l2_c = l2_c + l2_d
                 l2d_c = l2d_c + l2d_d
                 wse_c = wse_c + wse_d
+                if a_dev is not None:
+                    l2a_c = l2a_c + deltas[3]
+                    l2da_c = l2da_c + deltas[4]
             l2, l2d, ws, wsd, wse = _finalize_jit(
                 l2_c, l2d_c, ws_c, wsd_c, wse_c, poi_c,
                 pre["usable"], pre["add_sd_zero"])
+            if a_dev is not None:
+                l2_a, l2d_a = _finalize_annot_jit()(
+                    l2a_c, l2da_c, a_dev, pre["usable"],
+                    pre["add_sd_zero"], poi_c, wsd_c)
+        elif a_dev is not None:
+            l2_a, l2d_a, l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8(
+                *int8_args, a_dev, block_size=B, band_k=band_k, n_samples=n,
+                has_missing=has_missing, dot_dtype=config.int8_dot_dtype)
         else:
             l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8(
                 *int8_args, block_size=B, band_k=band_k, n_samples=n,
                 has_missing=has_missing, dot_dtype=config.int8_dot_dtype)
-        return to_host_result(l2, l2d, ws, wsd, wse, pre["maf"], pre["rstd"], m)
+        out = to_host_result(l2, l2d, ws, wsd, wse, pre["maf"], pre["rstd"], m)
+        if a_dev is not None:
+            out["l2_annot"] = np.asarray(l2_a, dtype=np.float64)[:m]
+            out["l2d_annot"] = np.asarray(l2d_a, dtype=np.float64)[:m]
+        return out
 
     pre = preprocess.preprocess_block(
         g_dev, jnp.asarray(pos_ok_pad), jnp.float32(config.maf_thr),
@@ -272,13 +330,24 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
     args = (pre["add"], pre["res"], jnp.asarray(lo_pad), jnp.asarray(hi_pad),
             pre["usable"], dom_ok, pre["add_sd_zero"],
             jnp.asarray(blk_lo), jnp.asarray(blk_hi))
-    if config.use_pallas:
-        from . import ld_pallas  # noqa: PLC0415
-        l2, l2d, ws, wsd, wse = ld_pallas.ld_scores_pallas(
-            *args, rsq_thr=float(config.rsq_thr), block_size=B, band_k=band_k,
-            n_samples=n, sample_chunk=config.sample_chunk,
-            interpret=config.interpret, precision=config.matmul_precision)
-    elif symmetric:
+    if a_dev is not None:
+        # the f32 annot epilogue exists full-band only
+        l2_a, l2d_a, l2, l2d, ws, wsd, wse = ld_xla.ld_scores_xla_annot(
+            *args, jnp.float32(config.rsq_thr), a_dev,
+            block_size=B, band_k=band_k, n_samples=n,
+            precision=config.matmul_precision)
+        out = to_host_result(l2, l2d, ws, wsd, wse, pre["maf"], pre["rstd"], m)
+        out["l2_annot"] = np.asarray(l2_a, dtype=np.float64)[:m]
+        out["l2d_annot"] = np.asarray(l2d_a, dtype=np.float64)[:m]
+        return out
+    if use_pallas:
+        from ..core.errors import NLDSCParameterError  # noqa: PLC0415
+        raise NLDSCParameterError(
+            "the f32 Pallas kernel was retired (strictly dominated: slower "
+            "than the f32 XLA slabs, needed a VMEM override, no annot — "
+            "PERFORMANCE.md r3). '--engine pallas' keeps the int8 Pallas "
+            "kernels; use '--engine f32' without --pallas for f32 slabs.")
+    if symmetric:
         right_k = windows.right_band_blocks(blk_hi, B)
         l2, l2d, ws, wsd, wse = ld_xla.ld_scores_xla_sym(
             *args, jnp.float32(config.rsq_thr), block_size=B, band_k=band_k,
@@ -294,98 +363,15 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
 def compute_ld_scores_annot(genotypes: np.ndarray, positions: np.ndarray,
                             annot: np.ndarray, config: LDConfig, *,
                             device=None) -> dict:
-    """Partitioned LD scores for an in-core genotype matrix.
+    """Partitioned LD scores — thin wrapper over
+    :func:`compute_ld_scores` with ``annot`` (kept for API stability).
 
-    Like :func:`compute_ld_scores` plus an ``annot`` float64 (M, p) matrix;
-    returns the standard result dict extended with ``l2_annot`` and
-    ``l2d_annot`` (M, p) float64 arrays.  Routes through the integer-exact
-    engine by default (the annotation contraction is one extra skinny
-    matmul per tile); ``use_int8=False`` selects the f32 XLA engine.
+    Returns the standard result dict extended with ``l2_annot`` and
+    ``l2d_annot`` (M, p) float64 arrays.  Engine routing (incl. the
+    split-missing composition) is documented on :func:`compute_ld_scores`.
     """
-    from ..io.plink import PackedBed  # noqa: PLC0415
-
-    packed = isinstance(genotypes, PackedBed)
-    m, n = genotypes.shape
-    B = config.block_size
-    m_pad = -(-m // B) * B
-    n_pad = -(-n // 128) * 128
-
-    lo, hi, pos_ok = windows.window_bounds(positions, config.ld_wind)
-    blk_lo, blk_hi, band_k = windows.band_blocks(lo, hi, B, m_pad // B)
-
-    has_missing = (genotypes.has_missing if packed
-                   else bool((genotypes < 0).any()))
-    use_int8 = config.use_int8 if config.use_int8 is not None else True
-    pad_val = np.int8(-1) if (has_missing or not use_int8) else np.int8(0)
-
-    pos_ok_pad = _pad_to(pos_ok, m_pad, False)
-    lo_pad = _pad_to(lo, m_pad, np.int32(m_pad))
-    hi_pad = _pad_to(hi, m_pad, np.int32(-1))
-    a_pad = _pad_to(np.asarray(annot, dtype=np.float32), m_pad, 0.0)
-
-    if packed:
-        pad_byte = np.uint8(0x55) if pad_val == -1 else np.uint8(0x00)
-        raw = _pad_to(genotypes.raw, m_pad, pad_byte)
-        g_dev = preprocess.unpack_bed(jnp.asarray(raw, device=device),
-                                      n_samples=n, n_pad=n_pad,
-                                      pad_val=int(pad_val))
-    else:
-        g = _pad_to(genotypes.astype(np.int8), m_pad, pad_val)
-        if n_pad != n:
-            g = np.concatenate(
-                [g, np.full((m_pad, n_pad - n), pad_val, dtype=np.int8)],
-                axis=1)
-        g_dev = jnp.asarray(g, device=device)
-    # measured on hardware (scripts/time_annot.py, min-of-reps): in-core
-    # the FULL-BAND annot route (71 ms / 131k SNPs) beats the symmetric
-    # one (91 ms) — the per-tile annot contractions sit on the symmetric
-    # scan's sequential critical path, while lax.map overlaps them.
-    # Out-of-core the symmetric band's 2/3 transfer wins instead
-    # (streaming.py runs annot symmetric).  Explicit --symmetric honors
-    # the user's choice.
-    symmetric = config.symmetric if config.symmetric is not None else False
-    if use_int8:
-        from . import ld_int8  # noqa: PLC0415
-        pre = ld_int8.preprocess_int8(
-            g_dev, jnp.asarray(pos_ok_pad), jnp.float32(config.maf_thr),
-            n_samples=n, assume_no_missing=not has_missing)
-        dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
-        args = (pre["g"], pre["m"], pre["h"], ld_int8.stack_scalars(pre),
-                jnp.asarray(lo_pad), jnp.asarray(hi_pad), pre["usable"],
-                dom_ok, pre["add_sd_zero"], jnp.asarray(blk_lo),
-                jnp.asarray(blk_hi), jnp.float32(config.rsq_thr),
-                jnp.asarray(a_pad))
-        if symmetric:
-            right_k = windows.right_band_blocks(blk_hi, B)
-            l2_a, l2d_a, l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8_sym(
-                *args, block_size=B, band_k=band_k, right_k=right_k,
-                n_samples=n, has_missing=has_missing,
-                dot_dtype=config.int8_dot_dtype)
-        else:
-            l2_a, l2d_a, l2, l2d, ws, wsd, wse = ld_int8.ld_scores_int8(
-                *args, block_size=B, band_k=band_k, n_samples=n,
-                has_missing=has_missing, dot_dtype=config.int8_dot_dtype)
-        out = to_host_result(l2, l2d, ws, wsd, wse, pre["maf"], pre["rstd"], m)
-        out["l2_annot"] = np.asarray(l2_a, dtype=np.float64)[:m]
-        out["l2d_annot"] = np.asarray(l2d_a, dtype=np.float64)[:m]
-        return out
-
-    pre = preprocess.preprocess_block(
-        g_dev, jnp.asarray(pos_ok_pad), jnp.float32(config.maf_thr),
-        n_samples=n)
-    dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
-
-    l2_a, l2d_a, l2, l2d, ws, wsd, wse = ld_xla.ld_scores_xla_annot(
-        pre["add"], pre["res"], jnp.asarray(lo_pad), jnp.asarray(hi_pad),
-        pre["usable"], dom_ok, pre["add_sd_zero"],
-        jnp.asarray(blk_lo), jnp.asarray(blk_hi),
-        jnp.float32(config.rsq_thr), jnp.asarray(a_pad),
-        block_size=B, band_k=band_k, n_samples=n,
-        precision=config.matmul_precision)
-    out = to_host_result(l2, l2d, ws, wsd, wse, pre["maf"], pre["rstd"], m)
-    out["l2_annot"] = np.asarray(l2_a, dtype=np.float64)[:m]
-    out["l2d_annot"] = np.asarray(l2d_a, dtype=np.float64)[:m]
-    return out
+    return compute_ld_scores(genotypes, positions, config, annot=annot,
+                             device=device)
 
 
 def show_summary(result: dict) -> str:
@@ -507,6 +493,17 @@ def estimate_lds(
         dense_bytes = bpe * ds.n_snp * (-(-ds.n_samples // 128) * 128)
         streaming = dense_bytes > STREAMING_BYTES_THRESHOLD
 
+    from ..core.errors import NLDSCParameterError  # noqa: PLC0415
+
+    avail_dev = jax.devices()
+    avail = len(avail_dev)
+    if n_devices is not None and n_devices > avail:
+        raise NLDSCParameterError(
+            f"--n-devices {n_devices} exceeds the {avail} visible JAX "
+            f"device(s); run with fewer devices or adjust "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count")
+    n_dev = avail if n_devices is None else n_devices
+
     import contextlib
     prof = (jax.profiler.trace(profile_dir) if profile_dir
             else contextlib.nullcontext())
@@ -523,12 +520,50 @@ def estimate_lds(
             if streaming:
                 from .streaming import (  # noqa: PLC0415
                     compute_ld_scores_streaming)
+                if shard_grid or shard_samples:
+                    raise NLDSCParameterError(
+                        "--annot --streaming supports --shard-axis snp "
+                        "only (sample/grid-sharded streaming carries no "
+                        "annot epilogue yet); drop --shard-axis or run "
+                        "in-core")
+                devs = avail_dev[:n_dev] if n_dev > 1 else None
                 result = compute_ld_scores_streaming(
                     ds.bed, positions, config, chunk_rows=chunk_rows,
-                    resume_path=resume_path, annot=annot_mat)
+                    resume_path=resume_path, annot=annot_mat, devices=devs)
             else:
-                result = compute_ld_scores_annot(
-                    ds.bed.read_raw(), positions, annot_mat, config)
+                grid_shape = _grid_shape(n_dev) if shard_grid else None
+                if n_dev > 1 and grid_shape is not None:
+                    from ..parallel.grid_sharded import (  # noqa: PLC0415
+                        grid_mesh, ld_scores_grid_sharded)
+
+                    r, c = grid_shape
+                    log.info("Partitioned run on a %dx%d snp-x-sample "
+                             "GRID mesh", r, c)
+                    result = ld_scores_grid_sharded(
+                        ds.bed.read_block(0, ds.n_snp), positions, config,
+                        grid_mesh(r, c), annot=annot_mat)
+                elif n_dev > 1 and shard_samples:
+                    from ..parallel import (  # noqa: PLC0415
+                        ld_scores_sample_sharded, snp_mesh)
+
+                    log.info("Partitioned run on a %d-device SAMPLE mesh",
+                             n_dev)
+                    result = ld_scores_sample_sharded(
+                        ds.bed.read_raw(), positions, config,
+                        snp_mesh(n_dev), annot=annot_mat)
+                elif n_dev > 1:
+                    from ..parallel import (  # noqa: PLC0415
+                        ld_scores_sharded, snp_mesh)
+
+                    log.info("Partitioned run on a %d-device SNP mesh",
+                             n_dev)
+                    result = ld_scores_sharded(
+                        ds.bed.read_raw(), positions, config,
+                        snp_mesh(n_dev), annot=annot_mat)
+                else:
+                    result = compute_ld_scores(
+                        ds.bed.read_raw(), positions, config,
+                        annot=annot_mat)
             dt = time.time() - t0
             log.info("Estimation completed: %d SNPs in %.2fs (%.0f SNPs/s)",
                      ds.n_snp, dt, ds.n_snp / max(dt, 1e-9))
@@ -544,8 +579,6 @@ def estimate_lds(
         if streaming:
             from .streaming import compute_ld_scores_streaming  # noqa: PLC0415
 
-            avail_dev = jax.devices()
-            n_dev = len(avail_dev) if n_devices is None else n_devices
             grid_shape = _grid_shape(n_dev) if shard_grid else None
             if grid_shape is not None and n_dev > 1:
                 from ..parallel.grid_sharded import grid_mesh  # noqa: PLC0415
@@ -574,10 +607,8 @@ def estimate_lds(
                     ds.bed, positions, config, chunk_rows=chunk_rows,
                     resume_path=resume_path, devices=devs)
         else:
-            avail = len(jax.devices())
-            n_dev = avail if n_devices is None else n_devices
             grid_shape = _grid_shape(n_dev) if shard_grid else None
-            if n_dev > 1 and avail > 1 and grid_shape is not None:
+            if n_dev > 1 and grid_shape is not None:
                 from ..parallel.grid_sharded import (  # noqa: PLC0415
                     grid_mesh, ld_scores_grid_sharded)
 
@@ -587,7 +618,7 @@ def estimate_lds(
                 result = ld_scores_grid_sharded(
                     ds.bed.read_block(0, ds.n_snp), positions, config,
                     grid_mesh(r, c))
-            elif n_dev > 1 and avail > 1 and shard_samples:
+            elif n_dev > 1 and shard_samples:
                 from ..parallel import (  # noqa: PLC0415
                     ld_scores_sample_sharded, snp_mesh)
 
@@ -596,7 +627,7 @@ def estimate_lds(
                 result = ld_scores_sample_sharded(ds.bed.read_raw(),
                                                   positions, config,
                                                   snp_mesh(n_dev))
-            elif n_dev > 1 and avail > 1:
+            elif n_dev > 1:
                 from ..parallel import ld_scores_sharded, snp_mesh  # noqa: PLC0415
 
                 log.info("Running the TPU LD estimator (%d-device SNP mesh)...",

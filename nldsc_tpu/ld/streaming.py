@@ -327,9 +327,13 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
 
     ``annot``: optional (M, p) float annotation matrix — computes
     PARTITIONED LD scores out-of-core (adds ``l2_annot``/``l2d_annot`` to
-    the result).  Partitioned runs use the full-band (non-symmetric)
-    engine: the annotation contraction is per-direction, so symmetric
-    credit mirroring does not apply.
+    the result).  Streaming annot runs the SYMMETRIC chunk pass (commit
+    eee6f34; unlike the in-core default): out-of-core the band transfer
+    dominates and the symmetric right-only band ships ~2/3 the bytes, so
+    the annot credits mirror through the same per-direction contractions
+    as the chunk pass (``_banded_chunk_int8_sym`` annot epilogue) — see
+    PERFORMANCE.md's measured-selection table.  Composes with ``devices``
+    round-robin; NOT with ``sample_mesh``/``grid``.
 
     ``devices``: optional list of JAX devices — chunks are dispatched
     round-robin across them (each chunk's band is self-contained, so no
@@ -390,11 +394,12 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
         if sample_mesh is not None and devices:
             raise ValueError("sample_mesh and devices are mutually "
                              "exclusive — the mesh already uses its devices")
+        which = "grid-sharded" if grid is not None else "sample-sharded"
         if annot is not None:
-            raise ValueError("sample-sharded streaming does not support "
+            raise ValueError(f"{which} streaming does not support "
                              "partitioned (--annot) runs yet")
         if not symmetric:
-            raise ValueError("sample-sharded streaming requires the "
+            raise ValueError(f"{which} streaming requires the "
                              "symmetric integer engine (use_int8, "
                              "symmetric not disabled)")
 

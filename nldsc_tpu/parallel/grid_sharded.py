@@ -69,10 +69,15 @@ def _extend_snp(x: jnp.ndarray, h: int) -> jnp.ndarray:
     return jnp.concatenate([fl, x, fr], axis=0)
 
 
-def _grid_shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
-                   rsq_thr, n_samples, n_pad_total, block_size, band_k,
-                   halo_rows, m_pad, has_missing, dot_dtype):
-    """g: (L, N_pad/d_samp) int8 local tile of the genotype matrix."""
+def _grid_shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, annot=None, *,
+                   maf_thr, std_thr, rsq_thr, n_samples, n_pad_total,
+                   block_size, band_k, halo_rows, m_pad, has_missing,
+                   dot_dtype):
+    """g: (L, N_pad/d_samp) int8 local tile of the genotype matrix.
+
+    ``annot``: optional f32 (L, p) annotation rows, sharded along the
+    snp axis and replicated along samp; halo-extended like the codes and
+    contracted after the per-tile psum (identical across a samp row)."""
     B = block_size
     L = g.shape[0]
     H = halo_rows
@@ -110,6 +115,7 @@ def _grid_shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
         scal, jnp.stack([usable, dom_ok, add_sd_zero],
                         axis=1).astype(jnp.float32)], axis=1)
     scal_ext = _extend_snp(scalars, H)
+    a_ext = None if annot is None else _extend_snp(annot, H)
 
     band_rows = min(band_k * B, L + 2 * H)
     ext_rows = L + 2 * H
@@ -149,12 +155,16 @@ def _grid_shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
         dots = dict(zip(names, tiles))
         r_add, r_dom = corr_from_dots(dots, sc_i, sc_j, n, n_padf,
                                       has_missing)
+        aj = (None if a_ext is None else
+              lax.dynamic_slice_in_dim(a_ext, j0_ext, band_rows, axis=0))
         return _tile_epilogue(r_add * n, r_dom * n, gi, gj, lo_i, hi_i,
                               usable_i, usable_j, dom_ok_j, poison_j,
-                              n_samples, rsq_thr)
+                              n_samples, rsq_thr, aj=aj)
 
     accs = lax.map(pivot_block, jnp.arange(L // B, dtype=jnp.int32))
-    flat = tuple(a.reshape(L) for a in accs)
+    flat = tuple(a.reshape(L) for a in accs[:6])
+    if annot is not None:
+        flat = flat + tuple(a.reshape(L, -1) for a in accs[6:])
     return flat + (usable, add_sd_zero, maf_out, rstd_out)
 
 
@@ -162,28 +172,46 @@ def _grid_shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
          static_argnames=("maf_thr", "std_thr", "rsq_thr", "n_samples",
                           "n_pad_total", "block_size", "band_k", "halo_rows",
                           "mesh", "has_missing", "dot_dtype"))
-def _grid_call(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
-               rsq_thr, n_samples, n_pad_total, block_size, band_k,
-               halo_rows, mesh, has_missing, dot_dtype):
+def _grid_call(g, pos_ok, lo, hi, blk_lo, blk_hi, annot=None, *, maf_thr,
+               std_thr, rsq_thr, n_samples, n_pad_total, block_size,
+               band_k, halo_rows, mesh, has_missing, dot_dtype):
     fn = partial(_grid_shard_fn, maf_thr=maf_thr, std_thr=std_thr,
                  rsq_thr=jnp.float32(rsq_thr), n_samples=n_samples,
                  n_pad_total=n_pad_total, block_size=block_size,
                  band_k=band_k, halo_rows=halo_rows, m_pad=g.shape[0],
                  has_missing=has_missing, dot_dtype=dot_dtype)
+    in_specs = (P(SNP_AXIS, SAMP_AXIS), P(SNP_AXIS), P(), P(), P(), P())
+    args = (g, pos_ok, lo, hi, blk_lo, blk_hi)
+    n_out = 10
+    if annot is not None:
+        in_specs = in_specs + (P(SNP_AXIS),)
+        args = args + (annot,)
+        n_out = 12
     out = jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(P(SNP_AXIS, SAMP_AXIS), P(SNP_AXIS), P(), P(), P(), P()),
-        out_specs=tuple([P(SNP_AXIS)] * 10),
-    )(g, pos_ok, lo, hi, blk_lo, blk_hi)
-    l2_acc, l2d_acc, ws, wsd, wse, poi, usable, add_sd_zero, maf, rstd = out
+        in_specs=in_specs,
+        out_specs=tuple([P(SNP_AXIS)] * n_out),
+    )(*args)
+    l2_acc, l2d_acc, ws, wsd, wse, poi = out[:6]
+    usable, add_sd_zero, maf, rstd = out[-4:]
     fin = finalize_outputs(l2_acc, l2d_acc, ws, wsd, wse, poi, usable,
                            add_sd_zero)
-    return fin + (maf, rstd)
+    if annot is None:
+        return fin + (maf, rstd)
+    from ..ld.ld_int8 import finalize_annot  # noqa: PLC0415
+    l2_a, l2d_a = finalize_annot(out[6], out[7], annot, usable,
+                                 add_sd_zero, poi, wsd)
+    return fin + (maf, rstd, l2_a, l2d_a)
 
 
 def ld_scores_grid_sharded(genotypes: np.ndarray, positions: np.ndarray,
-                           config, mesh: Mesh) -> dict:
-    """In-core LD scores over a 2-D (snp, samp) mesh."""
+                           config, mesh: Mesh,
+                           annot: np.ndarray | None = None) -> dict:
+    """In-core LD scores over a 2-D (snp, samp) mesh.
+
+    ``annot``: optional (M, p) annotation matrix (sharded along snp like
+    the genotype rows).  Extends the result with ``l2_annot``/``l2d_annot``.
+    """
     from ..ld import windows  # noqa: PLC0415
     from ..ld.pipeline import to_host_result  # noqa: PLC0415
 
@@ -211,14 +239,25 @@ def ld_scores_grid_sharded(genotypes: np.ndarray, positions: np.ndarray,
     hi_pad = np.concatenate([hi, np.full(m_pad - m, -1, np.int32)]).astype(np.int32)
     has_missing = bool((genotypes < 0).any())
 
+    a_dev = None
+    if annot is not None:
+        a_pad = np.zeros((m_pad, np.asarray(annot).shape[1]), np.float32)
+        a_pad[:m] = np.asarray(annot, dtype=np.float32)
+        a_dev = jnp.asarray(a_pad)
+
     with mesh:
         outs = _grid_call(
             jnp.asarray(g), jnp.asarray(pos_ok_pad), jnp.asarray(lo_pad),
             jnp.asarray(hi_pad), jnp.asarray(blk_lo), jnp.asarray(blk_hi),
+            a_dev,
             maf_thr=float(config.maf_thr), std_thr=float(config.std_thr),
             rsq_thr=float(config.rsq_thr), n_samples=n, n_pad_total=n_pad,
             block_size=B, band_k=band_k, halo_rows=halo_rows, mesh=mesh,
             has_missing=has_missing, dot_dtype=config.int8_dot_dtype)
 
-    l2, l2d, ws, wsd, wse, maf, rstd = outs
-    return to_host_result(l2, l2d, ws, wsd, wse, maf, rstd, m)
+    l2, l2d, ws, wsd, wse, maf, rstd = outs[:7]
+    result = to_host_result(l2, l2d, ws, wsd, wse, maf, rstd, m)
+    if annot is not None:
+        result["l2_annot"] = np.asarray(outs[7], dtype=np.float64)[:m]
+        result["l2d_annot"] = np.asarray(outs[8], dtype=np.float64)[:m]
+    return result

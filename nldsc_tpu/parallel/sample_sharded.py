@@ -63,12 +63,17 @@ def shard_preprocess_int8(g, pos_ok, maf_thr, *, n_samples, n_pad_total,
     return pre
 
 
-def _sample_shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
-                     rsq_thr, n_samples, n_pad_total, block_size, band_k,
-                     m_pad, has_missing, dot_dtype, packed=False):
+def _sample_shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, annot=None, *,
+                     maf_thr, std_thr, rsq_thr, n_samples, n_pad_total,
+                     block_size, band_k, m_pad, has_missing, dot_dtype,
+                     packed=False):
     """Per-shard body: g is (M_pad, N_pad/d) int8 — or, with ``packed``,
     (M_pad, bytes_per_snp/d) raw 2-bit .bed bytes unpacked on the shard
-    (4× less transfer); everything else replicated."""
+    (4× less transfer); everything else replicated.
+
+    ``annot``: optional f32 (M_pad, p) annotation matrix, REPLICATED —
+    the annot contraction happens after the per-tile psum, so every shard
+    computes identical (deterministic) partitioned credits."""
     B = block_size
     idot = make_idot(dot_dtype)
     n = jnp.float32(n_samples)
@@ -124,12 +129,16 @@ def _sample_shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
         dots = dict(zip(names, tiles))
         r_add, r_dom = corr_from_dots(dots, sc_i, sc_j, n, n_padf,
                                       has_missing)
+        aj = (None if annot is None else
+              lax.dynamic_slice_in_dim(annot, j0, band_rows, axis=0))
         return _tile_epilogue(r_add * n, r_dom * n, gi, gj, lo_i, hi_i,
                               usable_i, usable_j, dom_ok_j, poison_j,
-                              n_samples, rsq_thr)
+                              n_samples, rsq_thr, aj=aj)
 
     accs = lax.map(pivot_block, jnp.arange(m_pad // B, dtype=jnp.int32))
-    flat = tuple(a.reshape(m_pad) for a in accs)
+    flat = tuple(a.reshape(m_pad) for a in accs[:6])
+    if annot is not None:
+        flat = flat + tuple(a.reshape(m_pad, -1) for a in accs[6:])
     return flat + (usable, add_sd_zero, maf_out, rstd_out)
 
 
@@ -137,8 +146,8 @@ def _sample_shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
          static_argnames=("maf_thr", "std_thr", "rsq_thr", "n_samples",
                           "n_pad_total", "block_size", "band_k", "mesh",
                           "has_missing", "dot_dtype", "packed"))
-def _sample_sharded_call(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr,
-                         std_thr, rsq_thr, n_samples, n_pad_total,
+def _sample_sharded_call(g, pos_ok, lo, hi, blk_lo, blk_hi, annot=None, *,
+                         maf_thr, std_thr, rsq_thr, n_samples, n_pad_total,
                          block_size, band_k, mesh, has_missing, dot_dtype,
                          packed=False):
     fn = partial(_sample_shard_fn, maf_thr=maf_thr, std_thr=std_thr,
@@ -146,15 +155,28 @@ def _sample_sharded_call(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr,
                  n_pad_total=n_pad_total, block_size=block_size,
                  band_k=band_k, m_pad=g.shape[0], has_missing=has_missing,
                  dot_dtype=dot_dtype, packed=packed)
+    in_specs = (P(None, SNP_AXIS), P(), P(), P(), P(), P())
+    args = (g, pos_ok, lo, hi, blk_lo, blk_hi)
+    n_out = 10
+    if annot is not None:
+        in_specs = in_specs + (P(),)
+        args = args + (annot,)
+        n_out = 12
     out = jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(P(None, SNP_AXIS), P(), P(), P(), P(), P()),
-        out_specs=tuple([P()] * 10),
-    )(g, pos_ok, lo, hi, blk_lo, blk_hi)
-    l2_acc, l2d_acc, ws, wsd, wse, poi, usable, add_sd_zero, maf, rstd = out
+        in_specs=in_specs,
+        out_specs=tuple([P()] * n_out),
+    )(*args)
+    l2_acc, l2d_acc, ws, wsd, wse, poi = out[:6]
+    usable, add_sd_zero, maf, rstd = out[-4:]
     fin = finalize_outputs(l2_acc, l2d_acc, ws, wsd, wse, poi, usable,
                            add_sd_zero)
-    return fin + (maf, rstd)
+    if annot is None:
+        return fin + (maf, rstd)
+    from ..ld.ld_int8 import finalize_annot  # noqa: PLC0415
+    l2_a, l2d_a = finalize_annot(out[6], out[7], annot, usable,
+                                 add_sd_zero, poi, wsd)
+    return fin + (maf, rstd, l2_a, l2d_a)
 
 
 def _sample_chunk_shard_fn(raw_band, pos_ok_band, lo_piv, hi_piv, band_g0,
@@ -222,13 +244,18 @@ def sample_sharded_chunk_sym(raw_band, pos_ok_band, lo_piv, hi_piv, band_g0,
 
 
 def ld_scores_sample_sharded(genotypes, positions: np.ndarray,
-                             config, mesh) -> dict:
+                             config, mesh,
+                             annot: np.ndarray | None = None) -> dict:
     """In-core LD scores with the SAMPLE axis scattered over ``mesh``.
 
     ``genotypes``: int8 (M, N) codes — or a
     :class:`nldsc_tpu.io.plink.PackedBed` of raw 2-bit rows, in which case
     each shard receives only ITS byte columns and unpacks on device (4×
     less host→device/ICI traffic — the packed-ingestion path).
+
+    ``annot``: optional (M, p) annotation matrix (replicated; contracted
+    after the per-tile psums, so partitioned credits are identical on
+    every shard).  Extends the result with ``l2_annot``/``l2d_annot``.
     """
     from ..io.plink import PackedBed  # noqa: PLC0415
     from ..ld import windows  # noqa: PLC0415
@@ -261,15 +288,26 @@ def ld_scores_sample_sharded(genotypes, positions: np.ndarray,
         g[:m, :n] = genotypes
         has_missing = bool((genotypes < 0).any())
 
+    a_dev = None
+    if annot is not None:
+        a_pad = np.zeros((m_pad, np.asarray(annot).shape[1]), np.float32)
+        a_pad[:m] = np.asarray(annot, dtype=np.float32)
+        a_dev = jnp.asarray(a_pad)
+
     with mesh:
         outs = _sample_sharded_call(
             jnp.asarray(g), jnp.asarray(pos_ok_pad), jnp.asarray(lo_pad),
             jnp.asarray(hi_pad), jnp.asarray(blk_lo), jnp.asarray(blk_hi),
+            a_dev,
             maf_thr=float(config.maf_thr), std_thr=float(config.std_thr),
             rsq_thr=float(config.rsq_thr), n_samples=n, n_pad_total=n_pad,
             block_size=B, band_k=band_k, mesh=mesh,
             has_missing=has_missing, dot_dtype=config.int8_dot_dtype,
             packed=packed)
 
-    l2, l2d, ws, wsd, wse, maf, rstd = outs
-    return to_host_result(l2, l2d, ws, wsd, wse, maf, rstd, m)
+    l2, l2d, ws, wsd, wse, maf, rstd = outs[:7]
+    result = to_host_result(l2, l2d, ws, wsd, wse, maf, rstd, m)
+    if annot is not None:
+        result["l2_annot"] = np.asarray(outs[7], dtype=np.float64)[:m]
+        result["l2d_annot"] = np.asarray(outs[8], dtype=np.float64)[:m]
+    return result

@@ -74,11 +74,17 @@ def _extend(x: jnp.ndarray, h: int) -> jnp.ndarray:
     return jnp.concatenate([fl, x, fr], axis=0)
 
 
-def _shard_fn_int8(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
-                   rsq_thr, n_samples, block_size, band_k, halo_rows, m_pad,
-                   has_missing, dot_dtype):
+def _shard_fn_int8(g, pos_ok, lo, hi, blk_lo, blk_hi, annot=None, *,
+                   maf_thr, std_thr, rsq_thr, n_samples, block_size,
+                   band_k, halo_rows, m_pad, has_missing, dot_dtype):
     """Integer-engine shard body: halo-exchanges int8 genotype codes (4x
-    less ICI traffic than f32) plus the per-SNP scalar row."""
+    less ICI traffic than f32) plus the per-SNP scalar row.
+
+    ``annot``: optional f32 (L, p) local annotation rows (sharded like
+    ``g``) — halo-extended alongside the codes so each pivot block can
+    contract the masked adjusted-r² tile with its band's annotation slab
+    (partitioned LD shards exactly like the counters: per-pivot outputs,
+    no extra collectives)."""
     from ..ld.ld_int8 import (corr_tiles, make_idot,  # noqa: PLC0415
                               preprocess_int8, scal_views, stack_scalars)
 
@@ -102,6 +108,7 @@ def _shard_fn_int8(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
         scal, jnp.stack([usable, dom_ok, poison], axis=1).astype(jnp.float32),
     ], axis=1)                                # + flags at cols 9..11
     scal_ext = _extend(scalars, H)
+    a_ext = None if annot is None else _extend(annot, H)
 
     band_rows = min(band_k * B, L + 2 * H)
     ext_rows = L + 2 * H
@@ -138,12 +145,16 @@ def _shard_fn_int8(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
         r_add, r_dom = corr_tiles(
             idot, gi_rows, mi_rows, None, gj_rows, mj_rows, hj_rows,
             sc_i, sc_j, n, n_padf, has_missing)
+        aj = (None if a_ext is None else
+              lax.dynamic_slice_in_dim(a_ext, j0_ext, band_rows, axis=0))
         return _tile_epilogue(r_add * n, r_dom * n, gi, gj, lo_i, hi_i,
                               usable_i, usable_j, dom_ok_j, poison_j,
-                              n_samples, rsq_thr)
+                              n_samples, rsq_thr, aj=aj)
 
     accs = lax.map(pivot_block, jnp.arange(L // B, dtype=jnp.int32))
-    flat = tuple(a.reshape(L) for a in accs)
+    flat = tuple(a.reshape(L) for a in accs[:6])
+    if annot is not None:
+        flat = flat + tuple(a.reshape(L, -1) for a in accs[6:])
     return flat + (usable, poison, pre["maf"], pre["rstd"])
 
 
@@ -330,13 +341,14 @@ def _shard_fn_int8_sym(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr,
             usable, poison, pre["maf"], pre["rstd"])
 
 
-def _shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
-              rsq_thr, n_samples, block_size, band_k, halo_rows, m_pad,
-              precision):
+def _shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, annot=None, *, maf_thr,
+              std_thr, rsq_thr, n_samples, block_size, band_k, halo_rows,
+              m_pad, precision):
     """Per-shard computation inside shard_map.
 
     g : int8 (L, N_pad) local genotype rows;
-    pos_ok : bool (L,) local; lo/hi/blk_lo/blk_hi : replicated (global).
+    pos_ok : bool (L,) local; lo/hi/blk_lo/blk_hi : replicated (global);
+    annot : optional f32 (L, p) local annotation rows (halo-extended).
     """
     B = block_size
     L = g.shape[0]
@@ -355,6 +367,7 @@ def _shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
     res_ext = _extend(pre["res"], H)
     meta_local = jnp.stack([usable, dom_ok, poison], axis=1).astype(jnp.int32)
     meta_ext = _extend(meta_local, H)
+    a_ext = None if annot is None else _extend(annot, H)
 
     band_rows = min(band_k * B, L + 2 * H)
     ext_rows = L + 2 * H
@@ -384,11 +397,16 @@ def _shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
                         preferred_element_type=jnp.float32)
         c_dom = jnp.dot(ya, zr.T, precision=precision,
                         preferred_element_type=jnp.float32)
+        aj = (None if a_ext is None else
+              lax.dynamic_slice_in_dim(a_ext, j0_ext, band_rows, axis=0))
         return _tile_epilogue(c_add, c_dom, gi, gj, lo_i, hi_i, usable_i,
-                              usable_j, dom_ok_j, poison_j, n_samples, rsq_thr)
+                              usable_j, dom_ok_j, poison_j, n_samples,
+                              rsq_thr, aj=aj)
 
     accs = lax.map(pivot_block, jnp.arange(L // B, dtype=jnp.int32))
-    flat = tuple(a.reshape(L) for a in accs)
+    flat = tuple(a.reshape(L) for a in accs[:6])
+    if annot is not None:
+        flat = flat + tuple(a.reshape(L, -1) for a in accs[6:])
     return flat + (usable, poison, pre["maf"], pre["rstd"])
 
 
@@ -397,11 +415,15 @@ def _shard_fn(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
                           "block_size", "band_k", "right_k", "halo_rows",
                           "precision", "mesh", "use_int8", "symmetric",
                           "has_missing", "dot_dtype"))
-def _sharded_call(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
-                  rsq_thr, n_samples, block_size, band_k, right_k,
-                  halo_rows, precision, mesh, use_int8=False,
-                  symmetric=False, has_missing=True, dot_dtype="int8"):
+def _sharded_call(g, pos_ok, lo, hi, blk_lo, blk_hi, annot=None, *,
+                  maf_thr, std_thr, rsq_thr, n_samples, block_size,
+                  band_k, right_k, halo_rows, precision, mesh,
+                  use_int8=False, symmetric=False, has_missing=True,
+                  dot_dtype="int8"):
     m_pad = g.shape[0]
+    if annot is not None and symmetric:
+        raise ValueError("annot requires the full-band shard body "
+                         "(callers route symmetric=False for annot)")
     if use_int8 and symmetric:
         fn = partial(_shard_fn_int8_sym, maf_thr=maf_thr, std_thr=std_thr,
                      rsq_thr=jnp.float32(rsq_thr), n_samples=n_samples,
@@ -421,17 +443,30 @@ def _sharded_call(g, pos_ok, lo, hi, blk_lo, blk_hi, *, maf_thr, std_thr,
                      halo_rows=halo_rows, m_pad=m_pad, precision=precision)
     sharded = P(SNP_AXIS)
     repl = P()
+    in_specs = (sharded, sharded, repl, repl, repl, repl)
+    args = (g, pos_ok, lo, hi, blk_lo, blk_hi)
+    n_out = 10
+    if annot is not None:
+        in_specs = in_specs + (sharded,)
+        args = args + (annot,)
+        n_out = 12
     out = jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(sharded, sharded, repl, repl, repl, repl),
-        out_specs=tuple([sharded] * 10),
-    )(g, pos_ok, lo, hi, blk_lo, blk_hi)
-    l2_acc, l2d_acc, ws, wsd, wse, poi, usable, add_sd_zero, maf, rstd = out
+        in_specs=in_specs,
+        out_specs=tuple([sharded] * n_out),
+    )(*args)
+    l2_acc, l2d_acc, ws, wsd, wse, poi = out[:6]
+    usable, add_sd_zero, maf, rstd = out[-4:]
     l2, l2d, ws_o, wsd_o, wse_o = finalize_outputs(
         l2_acc, l2d_acc, ws, wsd, wse, poi, usable, add_sd_zero)
     nan = jnp.float32(jnp.nan)
     rstd_o = jnp.where(usable & ~add_sd_zero, rstd, nan)
-    return l2, l2d, ws_o, wsd_o, wse_o, maf, rstd_o
+    if annot is None:
+        return l2, l2d, ws_o, wsd_o, wse_o, maf, rstd_o
+    from ..ld.ld_int8 import finalize_annot  # noqa: PLC0415
+    l2_a, l2d_a = finalize_annot(out[6], out[7], annot, usable,
+                                 add_sd_zero, poi, wsd)
+    return l2, l2d, ws_o, wsd_o, wse_o, maf, rstd_o, l2_a, l2d_a
 
 
 def sharded_geometry(m: int, n: int, positions: np.ndarray, config, mesh):
@@ -518,7 +553,7 @@ def ld_scores_sharded_global(g_global, positions: np.ndarray, config, mesh,
 
 
 def ld_scores_sharded(genotypes, positions: np.ndarray, config,
-                      mesh) -> dict:
+                      mesh, annot: np.ndarray | None = None) -> dict:
     """Sharded in-core LD scores over a 1-D device mesh.
 
     Same host contract as ``pipeline.compute_ld_scores`` but the genotype
@@ -528,6 +563,12 @@ def ld_scores_sharded(genotypes, positions: np.ndarray, config,
     ``genotypes`` may be an int8 (M, N) array or a
     :class:`nldsc_tpu.io.plink.PackedBed`: packed rows are scattered over
     the mesh and unpacked on device (4× less host→device transfer).
+
+    ``annot``: optional (M, p) annotation matrix — partitioned LD.  The
+    annotation rows shard and halo-exchange exactly like the genotype
+    rows (per-pivot outputs, no extra collectives); routed through the
+    full-band shard body (the in-core measured choice for annot,
+    ld/pipeline.py).  Extends the result with ``l2_annot``/``l2d_annot``.
     """
     from ..io.plink import PackedBed  # noqa: PLC0415
 
@@ -535,6 +576,12 @@ def ld_scores_sharded(genotypes, positions: np.ndarray, config,
     m, n = genotypes.shape
     m_pad, n_pad, meta, kwargs = sharded_geometry(m, n, positions, config,
                                                   mesh)
+    a_dev = None
+    if annot is not None:
+        kwargs["symmetric"] = False   # annot runs the full-band shard body
+        a_pad = np.zeros((m_pad, np.asarray(annot).shape[1]), np.float32)
+        a_pad[:m] = np.asarray(annot, dtype=np.float32)
+        a_dev = jnp.asarray(a_pad)
 
     if packed:
         from ..ld.preprocess import unpack_bed  # noqa: PLC0415
@@ -554,11 +601,11 @@ def ld_scores_sharded(genotypes, positions: np.ndarray, config,
         g_dev = jnp.asarray(g)
 
     with mesh:
-        outs = _sharded_call(g_dev, *meta,
+        outs = _sharded_call(g_dev, *meta, a_dev,
                              has_missing=has_missing, **kwargs)
 
-    l2, l2d, ws, wsd, wse, maf, rstd = outs
-    return {
+    l2, l2d, ws, wsd, wse, maf, rstd = outs[:7]
+    result = {
         "l2": np.asarray(l2, dtype=np.float64)[:m],
         "l2d": np.asarray(l2d, dtype=np.float64)[:m],
         "maf": np.asarray(maf, dtype=np.float64)[:m],
@@ -567,3 +614,7 @@ def ld_scores_sharded(genotypes, positions: np.ndarray, config,
         "l2d_ws": np.asarray(wsd, dtype=np.int64)[:m],
         "l2d_wse": np.asarray(wse, dtype=np.int64)[:m],
     }
+    if annot is not None:
+        result["l2_annot"] = np.asarray(outs[7], dtype=np.float64)[:m]
+        result["l2d_annot"] = np.asarray(outs[8], dtype=np.float64)[:m]
+    return result

@@ -150,6 +150,140 @@ def test_annot_streaming_matches_oracle(tmp_path, use_int8):
     np.testing.assert_array_equal(res["l2_ws"], base["l2_ws"])
 
 
+def _row_missing(rng, m=600, n=256, p=3, contaminated_frac=0.03):
+    """Row-structured missingness (minority of rows carry gaps) so the
+    split-corrections route engages."""
+    g, pos, annot = _setup(rng, m=m, n=n, p=p, missing_rate=0.0)
+    rows = rng.choice(m, size=max(2, int(m * contaminated_frac)),
+                      replace=False)
+    for i in rows:
+        miss = rng.random(n) < 0.1
+        g[i] = np.where(miss, np.int8(-1), g[i])
+    return g, pos, annot
+
+
+def test_annot_split_missing_matches_global():
+    """annot × split-missing (VERDICT r3 #3): the clean symmetric annot
+    scan + annot δ-corrections equal the global missing engine — exact
+    counters, annot credits to contraction-precision."""
+    rng = np.random.default_rng(46)
+    g, pos, annot = _row_missing(rng)
+    base = dict(ld_wind=WIND, wind_metric="bp", maf_thr=MAF, std_thr=STD,
+                rsq_thr=1e-3, block_size=64)
+    split = compute_ld_scores_annot(
+        g, pos, annot, LDConfig(**base, split_missing=True, symmetric=True))
+    full = compute_ld_scores_annot(
+        g, pos, annot, LDConfig(**base, split_missing=False,
+                                symmetric=False))
+    for k in ("l2_ws", "l2d_ws", "l2d_wse"):
+        np.testing.assert_array_equal(split[k], full[k], err_msg=k)
+    for k in ("l2", "l2d"):
+        np.testing.assert_allclose(split[k], full[k], rtol=1e-5, atol=1e-5,
+                                   equal_nan=True, err_msg=k)
+    for k in ("l2_annot", "l2d_annot"):
+        # bf16x3 contraction noise on the annot credits
+        np.testing.assert_allclose(split[k], full[k], rtol=5e-5, atol=5e-4,
+                                   equal_nan=True, err_msg=k)
+    ora = oracle_ld_annot(g, pos, WIND, MAF, STD, annot)
+    np.testing.assert_allclose(split["l2_annot"], ora["l2_annot"],
+                               rtol=2e-5, atol=5e-4, equal_nan=True)
+    np.testing.assert_allclose(split["l2d_annot"], ora["l2d_annot"],
+                               rtol=2e-5, atol=5e-4, equal_nan=True)
+
+
+def test_annot_auto_routes_split():
+    """Default config + minority row-missing: the annot path must select
+    the split composition and still match the oracle."""
+    rng = np.random.default_rng(47)
+    g, pos, annot = _row_missing(rng, m=400)
+    res = compute_ld_scores_annot(
+        g, pos, annot, LDConfig(ld_wind=WIND, wind_metric="bp", maf_thr=MAF,
+                                std_thr=STD, rsq_thr=1e-3, block_size=64))
+    ora = oracle_ld_annot(g, pos, WIND, MAF, STD, annot)
+    np.testing.assert_allclose(res["l2_annot"], ora["l2_annot"],
+                               rtol=2e-5, atol=5e-4, equal_nan=True)
+    np.testing.assert_allclose(res["l2d_annot"], ora["l2d_annot"],
+                               rtol=2e-5, atol=5e-4, equal_nan=True)
+
+
+@pytest.mark.parametrize("axis", ["snp", "samples", "grid"])
+def test_annot_sharded_matches_dense(axis):
+    """Partitioned LD over every mesh axis == the dense annot engine
+    (VERDICT r3 #3: --annot no longer degrades to a single device)."""
+    import jax
+
+    from nldsc_tpu.parallel import (ld_scores_sample_sharded,
+                                    ld_scores_sharded, snp_mesh)
+    from nldsc_tpu.parallel.grid_sharded import (grid_mesh,
+                                                 ld_scores_grid_sharded)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(48)
+    g, pos, annot = _setup(rng, m=512, n=200, missing_rate=0.02)
+    config = LDConfig(ld_wind=WIND, wind_metric="bp", maf_thr=MAF,
+                      std_thr=STD, rsq_thr=1e-3, block_size=32)
+    dense = compute_ld_scores_annot(g, pos, annot, config)
+    if axis == "snp":
+        res = ld_scores_sharded(g, pos, config, snp_mesh(8), annot=annot)
+    elif axis == "samples":
+        res = ld_scores_sample_sharded(g, pos, config, snp_mesh(8),
+                                       annot=annot)
+    else:
+        res = ld_scores_grid_sharded(g, pos, config, grid_mesh(4, 2),
+                                     annot=annot)
+    for k in ("l2_ws", "l2d_ws", "l2d_wse"):
+        np.testing.assert_array_equal(res[k], dense[k], err_msg=k)
+    for k in ("l2", "l2d", "l2_annot", "l2d_annot"):
+        np.testing.assert_allclose(res[k], dense[k], rtol=2e-5, atol=2e-4,
+                                   equal_nan=True, err_msg=k)
+
+
+def test_annot_cli_sharded(tmp_path):
+    """estimate_lds --annot now honors n_devices/shard flags end-to-end."""
+    import jax
+
+    from nldsc_tpu.io.plink import write_plink
+    from nldsc_tpu.ld.pipeline import estimate_lds
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(49)
+    m, n = 384, 200
+    g, pos, annot = _setup(rng, m=m, n=n, missing_rate=0.0)
+    prefix = str(tmp_path / "shard")
+    write_plink(prefix, g, bp=pos.astype(np.int64))
+    bim = pd.read_csv(prefix + ".bim", sep="\t", header=None)
+    annot_df = pd.DataFrame({"SNP": bim[1], "base": annot[:, 0],
+                             "cat": annot[:, 1], "cont": annot[:, 2]})
+    annot_path = str(tmp_path / "shard.annot")
+    annot_df.to_csv(annot_path, sep="\t", index=False)
+
+    kw = dict(ld_wind=WIND, wind_metric="bp", maf_thr=MAF, std_thr=STD,
+              annot=annot_path, block_size=32)
+    dense = estimate_lds(prefix, n_devices=1, **kw)
+    sharded = estimate_lds(prefix, n_devices=8, **kw)
+    grid = estimate_lds(prefix, n_devices=8, shard_grid=True, **kw)
+    samp = estimate_lds(prefix, n_devices=8, shard_samples=True, **kw)
+    for df in (sharded, grid, samp):
+        pd.testing.assert_frame_equal(
+            df, dense, check_exact=False, rtol=1e-4, atol=1e-4)
+
+
+def test_n_devices_validation(tmp_path):
+    from nldsc_tpu.core.errors import NLDSCParameterError
+    from nldsc_tpu.io.plink import write_plink
+    from nldsc_tpu.ld.pipeline import estimate_lds
+
+    rng = np.random.default_rng(50)
+    g, pos, _ = _setup(rng, m=64, n=64, missing_rate=0.0)
+    prefix = str(tmp_path / "val")
+    write_plink(prefix, g, bp=pos.astype(np.int64))
+    with pytest.raises(NLDSCParameterError, match="exceeds"):
+        estimate_lds(prefix, ld_wind=WIND, wind_metric="bp", maf_thr=MAF,
+                     n_devices=4096)
+
+
 def test_read_annot_alignment(tmp_path):
     from nldsc_tpu.io.ldscores import read_annot
 
