@@ -29,7 +29,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ld_pallas import _L2, _L2D, _WS, _WSD, _WSE, _POI, pack_metadata
+from .ld_pallas_common import (_L2, _L2D, _WS, _WSD, _WSE, _POI,
+                               pack_metadata)
 from .ld_xla import finalize_outputs
 from .ld_int8 import SCAL_FIELDS, corr_from_dots
 

@@ -7,9 +7,10 @@ pair is one ``(B, N) @ (N, B)`` MXU matmul followed by a fused epilogue
 (adjusted r², window/usability masks, row-sum accumulation).  One pass emits
 both L2 (additive) and L2D (dominance) plus the three window counters.
 
-This module is the correctness-first XLA implementation; ``ld_pallas.py``
-fuses the same epilogue into a custom kernel.  Both share the mask algebra
-in :func:`_tile_epilogue` and finalization in :func:`finalize_outputs`.
+This module is the correctness-first XLA implementation; the int8 Pallas
+alternates (``ld_pallas_sym.py``/``ld_pallas_int8.py``) fuse the same
+epilogue into custom kernels.  All share the mask algebra in
+:func:`_tile_epilogue` and finalization in :func:`finalize_outputs`.
 """
 
 from __future__ import annotations

@@ -17,7 +17,7 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
-from nldsc_tpu.ld import ld_pallas, ld_xla, preprocess, windows
+from nldsc_tpu.ld import ld_xla, preprocess, windows
 
 
 def setup(m, n, win_snps, B, seed):
@@ -63,19 +63,9 @@ def main():
             dt = time.time() - t0
             print(f"xla    B={B:4d} prec={prec:7s}: {dt:6.3f}s "
                   f"{m / dt:9,.0f} SNPs/s  {useful_flops / dt / 1e12:6.2f} TF/s")
-            for nc in (512, 1024, 2048):
-                kwp = dict(rsq_thr=1e-4, block_size=B, band_k=band_k,
-                           n_samples=n, sample_chunk=nc, precision=prec)
-                try:
-                    fetch(ld_pallas.ld_scores_pallas(*args_w, **kwp))
-                    t0 = time.time()
-                    fetch(ld_pallas.ld_scores_pallas(*args_t, **kwp))
-                    dt = time.time() - t0
-                    print(f"pallas B={B:4d} Nc={nc:5d} prec={prec:7s}: {dt:6.3f}s "
-                          f"{m / dt:9,.0f} SNPs/s  {useful_flops / dt / 1e12:6.2f} TF/s")
-                except Exception as e:
-                    print(f"pallas B={B} Nc={nc} prec={prec}: FAILED "
-                          f"{type(e).__name__}: {str(e)[:120]}")
+            # (the f32 Pallas kernel scan was removed with the kernel in
+            # r4; the int8 Pallas alternates have their own timing
+            # scripts: time_pallas_sym.py)
 
 
 if __name__ == "__main__":

@@ -46,7 +46,7 @@ def test_oracle_reproduces_golden(golden):
 
 @pytest.mark.parametrize(
     "engine", ["int8", "int8-sym", "int8-pallas", "int8-pallas-sym",
-               "f32-sym", "f32-plain", "f32-pallas"])
+               "f32-sym", "f32-plain"])
 def test_engines_match_golden(golden, engine):
     cfg = LDConfig(ld_wind=WIND, wind_metric="bp", maf_thr=MAF, std_thr=STD,
                    rsq_thr=RSQ, block_size=32,
