@@ -279,7 +279,9 @@ def est_ld_genome(bfiles, out_dir, ld_wind_kb, ld_wind_cm, maf_thr,
 @click.option("--on-device", "on_device", is_flag=True, default=False,
               help="Run the regression in f32 on the accelerator "
                    "(compensated jackknife accumulation, measured <=1e-5 "
-                   "vs the default f64-on-CPU path; two-stg/one-stg only)")
+                   "vs the default f64-on-CPU path; with --partitioned "
+                   "the solves use the unrolled decomposition-free "
+                   "Cholesky, p <= 31 annotations)")
 @click.option("--samp-prev", metavar="P", type=float, default=None,
               help="Sample prevalence (with --pop-prev: report "
                    "liability-scale h2)")
@@ -293,16 +295,12 @@ def est_h2(sumstats, ref_ld, w_ld, strategy, chisq_max, n_blocks,
            intercept_h2, two_step, use_m, partitioned, on_device,
            samp_prev, pop_prev, save_to_json):
     if partitioned:
-        if on_device:
-            raise RuntimeError(
-                "--on-device is not supported with --partitioned "
-                "(the multi-annotation solve stays f64 on CPU)")
         from .h2.pipeline import estimate_h2_partitioned  # noqa: PLC0415
 
         estimate_h2_partitioned(
             sumstats=sumstats, ref_ld=ref_ld, w_ld=w_ld, n_blocks=n_blocks,
             intercept_h2=intercept_h2, chisq_max=chisq_max, use_m=use_m,
-            save_to_json=save_to_json)
+            save_to_json=save_to_json, on_device=on_device)
         return
 
     from .h2.pipeline import estimate_h2  # noqa: PLC0415

@@ -56,9 +56,12 @@ def solve_posdef(a, b):
     For p ≤ 3 uses the closed-form adjugate — pure elementwise arithmetic,
     no LU/QR decomposition op.  That is what makes the f32 ON-DEVICE h2
     path portable: accelerator backends may lack (or mis-handle) small
-    f32 decompositions, while Cramer on the well-conditioned 2–3-column
-    LD-score systems is as accurate as LU.  Falls back to
-    ``jnp.linalg.solve`` for larger p (partitioned h2 stays on CPU/f64).
+    f32 decompositions (and the remote compiler turns a tiny QR into a
+    20-minute compile).  For 4 ≤ p ≤ 32 — the partitioned-h2 regime,
+    p = n_annotations + intercept — an UNROLLED Cholesky (static Python
+    loops over p, elementwise ops only, batched over the leading dims)
+    keeps the on-device property; above that it falls back to
+    ``jnp.linalg.solve`` (such runs stay on CPU/f64).
 
     a: (..., p, p), b: (..., p, 1) → (..., p, 1).
     """
@@ -87,6 +90,28 @@ def solve_posdef(a, b):
             jnp.stack([c02, c12, c22], axis=-1),
         ], axis=-2)
         return (adj @ b) / det[..., None, None]
+    if p <= 32:
+        # unrolled Cholesky a = L Lᵀ + triangular solves, all elementwise
+        low = [[None] * p for _ in range(p)]
+        for i in range(p):
+            for j in range(i + 1):
+                s = a[..., i, j]
+                for k in range(j):
+                    s = s - low[i][k] * low[j][k]
+                low[i][j] = jnp.sqrt(s) if i == j else s / low[j][j]
+        y = []
+        for i in range(p):
+            s = b[..., i, 0]
+            for k in range(i):
+                s = s - low[i][k] * y[k]
+            y.append(s / low[i][i])
+        x = [None] * p
+        for i in reversed(range(p)):
+            s = y[i]
+            for k in range(i + 1, p):
+                s = s - low[k][i] * x[k]
+            x[i] = s / low[i][i]
+        return jnp.stack(x, axis=-1)[..., None]
     return jnp.linalg.solve(a, b)
 
 

@@ -178,6 +178,7 @@ def estimate_h2_partitioned(
     chisq_max: float | None = None,
     use_m: bool = False,
     save_to_json: str | None = None,
+    on_device: bool = False,
 ) -> dict:
     """Partitioned (multi-annotation) heritability estimation.
 
@@ -233,7 +234,14 @@ def estimate_h2_partitioned(
     w = _cols(overall["_WLD"], n_new)
     N = _cols(overall["N"], n_new)
 
-    with jax.enable_x64(True), _cpu_device():
+    # on_device: f32 on the accelerator — the p = n_annot+1 normal-
+    # equation solves run through the unrolled-Cholesky solve_posdef
+    # (decomposition-free; jackknife.py), validated ≤1e-5 vs this f64
+    # path in tests/test_h2_ondevice.py
+    import contextlib  # noqa: PLC0415
+    x64_ctx = jax.enable_x64(not on_device)
+    dev_ctx = contextlib.nullcontext() if on_device else _cpu_device()
+    with x64_ctx, dev_ctx:
         res = hsq_partitioned(chisq, x, w, N, M_annot,
                               n_blocks=n_blocks, intercept=intercept_h2)
 

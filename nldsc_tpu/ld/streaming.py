@@ -266,6 +266,113 @@ def _banded_chunk_int8_sym(pre, dom_ok_b, lo_piv, hi_piv, band_g0, m_pad,
     return local, tail, local_a, tail_a
 
 
+@partial(jax.jit, static_argnames=(
+    "packed", "n_samples", "n_pad", "materialize_m", "block_size",
+    "right_k", "n_piv_blocks", "has_missing", "dot_dtype", "use_split",
+    "seg_rows", "n_segs", "p_band", "p_x"))
+def _chunk_dispatch_sym(g_band, meta_dev, p0, m_pad, thresholds,
+                        split_chunk=None, annot_full=None, *,
+                        packed: bool, n_samples: int, n_pad: int,
+                        materialize_m: bool, block_size: int, right_k: int,
+                        n_piv_blocks: int, has_missing: bool,
+                        dot_dtype: str, use_split: bool,
+                        seg_rows: int = 0, n_segs: int = 0,
+                        p_band: int = 0, p_x: int = 0):
+    """ONE fused device program per streaming chunk (symmetric route).
+
+    Everything between the band transfer and the result fetch — device
+    unpack, integer preprocessing, the symmetric chunk pass, the split
+    δ-corrections and the result packing — compiles into a single
+    dispatch.  Measured motivation (PERFORMANCE.md): the axon runtime
+    charges a fixed ~28 ms per runtime call that never pipelines, so the
+    previous ~10-15 eager ops per chunk (dom_ok masks, split folds,
+    separate stat fetches, eager finalize) dominated the streaming loop
+    at chromosome scale; this leaves 3 runtime calls per chunk (band
+    transfer, this dispatch, one payload fetch).
+
+    ``meta_dev``: (pos_ok_ext, lo_ext, hi_ext) FULL-length device-resident
+    metadata staged once before the chunk loop and sliced at ``p0``
+    in-program (pos_ok_ext is padded to m_ext + halo).
+    ``thresholds``: (maf_thr, std_thr, rsq_thr) f32 scalars.
+    ``split_chunk``: per-chunk split tensors
+    (miss_idx, lo_band, hi_band, rowmiss, cs, c_cnt, xs, x_cnt) or None.
+    ``annot_full``: (m_ext + halo, p) device annotations or None.
+
+    Returns a (6, 2·chunk_rows + halo) f32 payload —
+    ``[local | tail | stats]`` with stats rows (usable, poison, maf,
+    rstd, 0, 0) — plus, for annot runs, a (2, chunk_rows + halo, p)
+    annot payload ``[local_a | tail_a]``.  One host fetch each; the
+    NaN/-1 sentinel finalization happens on host in f32
+    (:func:`_finalize_np`, bitwise-identical IEEE ops).
+    """
+    from .ld_int8 import preprocess_int8, stack_scalars  # noqa: PLC0415
+    from .preprocess import unpack_bed  # noqa: PLC0415
+
+    chunk_rows = n_piv_blocks * block_size
+    pos_ok_ext, lo_ext, hi_ext = meta_dev
+    maf_thr, std_thr, rsq_thr = thresholds
+
+    g = (unpack_bed(g_band, n_samples=n_samples, n_pad=n_pad, pad_val=-1)
+         if packed else g_band)
+    band_rows = g.shape[0]
+    pos_ok_band = lax.dynamic_slice_in_dim(pos_ok_ext, p0, band_rows)
+    lo_c = lax.dynamic_slice_in_dim(lo_ext, p0, chunk_rows)
+    hi_c = lax.dynamic_slice_in_dim(hi_ext, p0, chunk_rows)
+
+    pre = preprocess_int8(g, pos_ok_band, maf_thr, n_samples=n_samples,
+                          materialize_m=materialize_m)
+    dom_ok = pre["usable"] & (pre["rstd"] > std_thr)
+    annot_b = (None if annot_full is None else
+               lax.dynamic_slice_in_dim(annot_full, p0, band_rows, axis=0))
+    accs = _banded_chunk_int8_sym(
+        pre, dom_ok, lo_c, hi_c, p0, m_pad, rsq_thr, annot_b,
+        block_size=block_size, right_k=right_k, n_samples=n_samples,
+        n_piv_blocks=n_piv_blocks,
+        has_missing=(False if use_split else has_missing),
+        dot_dtype=dot_dtype)
+    local, tail = accs[:2]
+    if use_split:
+        from .ld_split import (  # noqa: PLC0415
+            compact_missing_rows, split_corrections)
+
+        miss_idx, lo_b, hi_b, rowmiss, cs, c_cnt, xs, x_cnt = split_chunk
+        l2_d, l2d_d, wse_d = split_corrections(
+            pre["g"], compact_missing_rows(g, miss_idx), pre["h"],
+            stack_scalars(pre), lo_b, hi_b, pre["usable"], dom_ok,
+            rowmiss, rsq_thr, jnp.int32(chunk_rows), miss_idx, cs, c_cnt,
+            xs, x_cnt, seg_rows=seg_rows, n_segs=n_segs, p_band=p_band,
+            p_x=p_x, n_samples=n_samples, dot_dtype=dot_dtype)
+        delta = _fold_split_deltas(l2_d, l2d_d, wse_d)
+        local = local + delta[:, :chunk_rows]
+        tail = tail + delta[:, chunk_rows:]
+
+    zeros = jnp.zeros(chunk_rows, jnp.float32)
+    stats = jnp.stack([
+        pre["usable"][:chunk_rows].astype(jnp.float32),
+        pre["add_sd_zero"][:chunk_rows].astype(jnp.float32),
+        pre["maf"][:chunk_rows], pre["rstd"][:chunk_rows], zeros, zeros])
+    payload = jnp.concatenate([local, tail, stats], axis=1)
+    if annot_full is None:
+        return payload
+    return payload, jnp.concatenate([accs[2], accs[3]], axis=1)
+
+
+def _finalize_np(l2_acc, l2d_acc, ws, wsd, wse, poison, usable, add_sd_zero):
+    """Host-side float32 mirror of ``ld_xla.finalize_outputs`` — the same
+    IEEE f32 ops in the same order, so results are bitwise identical
+    without spending device round-trips on sentinel masking."""
+    l2a = l2_acc.astype(np.float32)
+    l2da = l2d_acc.astype(np.float32)
+    nan = np.float32(np.nan)
+    l2 = np.where(usable & (poison == 0), np.float32(1.0) + l2a, nan)
+    l2d_bad = np.where(wsd > 0, nan, np.float32(0.0))
+    l2d = np.where(usable, np.where(add_sd_zero, l2d_bad, l2da), nan)
+    ws_o = np.where(usable, ws, -1).astype(np.int32)
+    wsd_o = np.where(usable, wsd, -1).astype(np.int32)
+    wse_o = np.where(usable, np.where(add_sd_zero, 0, wse), -1).astype(np.int32)
+    return l2, l2d, ws_o, wsd_o, wse_o
+
+
 @partial(jax.jit, static_argnames=("block_size", "band_k", "n_samples",
                                    "n_piv_blocks", "precision"))
 def _banded_chunk(add_b, res_b, usable_b, dom_ok_b, poison_b,
@@ -616,6 +723,31 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     n_dev = len(ring)
     n_piv_blocks = chunk_rows // B
 
+    # fused-dispatch staging (symmetric in-core route): full-run metadata
+    # and thresholds live on each ring device ONCE; the per-chunk program
+    # (_chunk_dispatch_sym) slices them at p0, so each chunk costs
+    # exactly one band transfer + one dispatch + one payload fetch
+    sym_fast = symmetric and samp_meshes is None
+    if sym_fast:
+        pos_ok_ext_h = np.zeros(m_ext + halo, dtype=bool)
+        pos_ok_ext_h[:m_ext] = pos_ok_pad
+        annot_full_h = None
+        if annot_pad is not None:
+            annot_full_h = np.zeros((m_ext + halo, annot_pad.shape[1]),
+                                    np.float32)
+            annot_full_h[:m_ext] = annot_pad
+        meta_by_dev, annot_by_dev, thr_by_dev = {}, {}, {}
+        for dv in ring:
+            def put(x, dv=dv):
+                return jax.device_put(x, dv) if dv is not None else jnp.asarray(x)
+            meta_by_dev[dv] = (put(pos_ok_ext_h), put(lo_pad.copy()),
+                               put(hi_pad.copy()))
+            if annot_full_h is not None:
+                annot_by_dev[dv] = put(annot_full_h)
+            thr_by_dev[dv] = (put(np.float32(config.maf_thr)),
+                              put(np.float32(config.std_thr)),
+                              put(np.float32(config.rsq_thr)))
+
     def dispatch(ci, band, dev):
         """Queue chunk ci's device work (async); returns device arrays."""
         g_band, pos_ok_band, chunk_has_missing = band
@@ -661,6 +793,32 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                    "maf": maf, "rstd": rstd}
             return pre, (local, tail)
 
+        if sym_fast:
+            use_split_c = (split_plans is not None
+                           and split_plans[ci]["has_any"])
+            split_dev_c = None
+            split_kw = {}
+            if use_split_c:
+                pl = split_plans[ci]
+                split_dev_c = tuple(
+                    dev_put(pl[k]) for k in ("miss_idx", "lo", "hi",
+                                             "rowmiss", "cs", "c_cnt",
+                                             "xs", "x_cnt"))
+                split_kw = dict(seg_rows=split_seg, n_segs=split_nseg,
+                                p_band=split_p, p_x=split_px)
+            out_p = _chunk_dispatch_sym(
+                dev_put(g_band), meta_by_dev[dev], np.int32(p0),
+                np.int32(m_pad), thr_by_dev[dev], split_dev_c,
+                annot_by_dev.get(dev),
+                packed=use_packed, n_samples=n, n_pad=n_pad,
+                materialize_m=(split_plans is None and chunk_has_missing),
+                block_size=B, right_k=right_k, n_piv_blocks=n_piv_blocks,
+                has_missing=(False if split_plans is not None
+                             else chunk_has_missing),
+                dot_dtype=config.int8_dot_dtype, use_split=use_split_c,
+                **split_kw)
+            return "payload", out_p
+
         annot_b = None
         if annot_pad is not None:
             ab = np.zeros((band_rows, annot_pad.shape[1]), np.float32)
@@ -668,60 +826,6 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
             if a1 > a0:
                 ab[a0 - band_lo:a1 - band_lo] = annot_pad[a0:a1]
             annot_b = dev_put(ab)
-
-        if symmetric:
-            from . import ld_int8  # noqa: PLC0415
-
-            # the chunk pass reads the indicator matrix only on the
-            # global-missing route; the split route reads it through the
-            # COMPACT contaminated rows — skip the O(band·N) int8
-            # materialization everywhere else (clean chunks included)
-            gb_raw = band_dev()
-            pre = ld_int8.preprocess_int8(
-                gb_raw, dev_put(pos_ok_band),
-                jnp.float32(config.maf_thr), n_samples=n,
-                materialize_m=(split_plans is None and chunk_has_missing))
-            dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(config.std_thr))
-            if split_plans is not None:
-                from .ld_split import (  # noqa: PLC0415
-                    compact_missing_rows, split_corrections)
-                from .ld_int8 import stack_scalars  # noqa: PLC0415
-
-                pl = split_plans[ci]
-                local, tail = _banded_chunk_int8_sym(
-                    pre, dom_ok, dev_put(lo_pad[p0:p1]),
-                    dev_put(hi_pad[p0:p1]), jnp.int32(p0),
-                    jnp.int32(m_pad), jnp.float32(config.rsq_thr), None,
-                    block_size=B, right_k=right_k, n_samples=n,
-                    n_piv_blocks=n_piv_blocks, has_missing=False,
-                    dot_dtype=config.int8_dot_dtype)
-                if not pl["has_any"]:
-                    # band has no contaminated rows: the clean pass is
-                    # already exact — skip the (all-zero) corrections
-                    return pre, (local, tail)
-                mi_dev = dev_put(pl["miss_idx"])
-                l2_d, l2d_d, wse_d = split_corrections(
-                    pre["g"], compact_missing_rows(gb_raw, mi_dev),
-                    pre["h"], stack_scalars(pre),
-                    dev_put(pl["lo"]), dev_put(pl["hi"]), pre["usable"],
-                    dom_ok, dev_put(pl["rowmiss"]),
-                    jnp.float32(config.rsq_thr), jnp.int32(chunk_rows),
-                    mi_dev, dev_put(pl["cs"]),
-                    dev_put(pl["c_cnt"]), dev_put(pl["xs"]),
-                    dev_put(pl["x_cnt"]), seg_rows=split_seg,
-                    n_segs=split_nseg, p_band=split_p, p_x=split_px,
-                    n_samples=n, dot_dtype=config.int8_dot_dtype)
-                delta = _fold_split_deltas(l2_d, l2d_d, wse_d)
-                local = local + delta[:, :chunk_rows]
-                tail = tail + delta[:, chunk_rows:]
-                return pre, (local, tail)
-            accs = _banded_chunk_int8_sym(
-                pre, dom_ok, dev_put(lo_pad[p0:p1]), dev_put(hi_pad[p0:p1]),
-                jnp.int32(p0), jnp.int32(m_pad), jnp.float32(config.rsq_thr),
-                annot_b, block_size=B, right_k=right_k, n_samples=n,
-                n_piv_blocks=n_piv_blocks, has_missing=chunk_has_missing,
-                dot_dtype=config.int8_dot_dtype)
-            return pre, accs
 
         chunk_args = (
             dev_put(lo_pad[p0:p1]), dev_put(hi_pad[p0:p1]),
@@ -758,10 +862,64 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
         nonlocal carry, carry_a
         p0 = ci * chunk_rows
         p1 = p0 + chunk_rows
+        tail = tail_a = None
+        if pre == "payload":
+            # fused symmetric route: ONE fetch per chunk; sentinel
+            # finalization on host (f32, bitwise-identical IEEE ops)
+            pay_a = None
+            if annot_pad is not None:
+                payload, pay_a = accs
+            else:
+                payload = accs
+            pp = np.asarray(payload, dtype=np.float64)
+            sums = pp[:, :chunk_rows]
+            tail = pp[:, chunk_rows:chunk_rows + halo]
+            stats = pp[:, chunk_rows + halo:]
+            usable_p = stats[0] > 0
+            poison_p = stats[1] > 0
+            w = min(halo, chunk_rows)
+            sums[:, :w] += carry[:, :w]
+            nc = np.zeros_like(carry)
+            if halo > chunk_rows:
+                nc[:, :halo - chunk_rows] = carry[:, chunk_rows:]
+            nc += tail
+            carry = nc
+            l2a, ws_c, poi_c, l2da, wsd_c, wse_c = sums
+            l2, l2d, ws, wsd, wse = _finalize_np(
+                l2a, l2da, ws_c.astype(np.int32), wsd_c.astype(np.int32),
+                wse_c.astype(np.int32), poi_c.astype(np.int32),
+                usable_p, poison_p)
+            if pay_a is not None:
+                aa = np.asarray(pay_a, dtype=np.float64)
+                sums_a = aa[:, :chunk_rows]
+                tail_a = aa[:, chunk_rows:]
+                sums_a[:, :w] += carry_a[:, :w]
+                nca = np.zeros_like(carry_a)
+                if halo > chunk_rows:
+                    nca[:, :halo - chunk_rows] = carry_a[:, chunk_rows:]
+                nca += tail_a
+                carry_a = nca
+                l2a_p, l2da_p = sums_a
+                good = (usable_p & (poi_c == 0))[:, None]
+                self_a = annot_pad[p0:p1].astype(np.float64)
+                out["l2_annot"][p0:p1] = np.where(good, self_a + l2a_p,
+                                                  np.nan)
+                l2d_bad = np.where(wsd_c > 0, np.nan, 0.0)[:, None]
+                out["l2d_annot"][p0:p1] = np.where(
+                    usable_p[:, None],
+                    np.where(poison_p[:, None], l2d_bad, l2da_p), np.nan)
+            out["l2"][p0:p1] = l2
+            out["l2d"][p0:p1] = l2d
+            out["maf"][p0:p1] = stats[2]
+            out["residuals_std"][p0:p1] = stats[3]
+            out["l2_ws"][p0:p1] = ws
+            out["l2d_ws"][p0:p1] = wsd
+            out["l2d_wse"][p0:p1] = wse
+            _log_and_checkpoint(ci, p0, p1, tail, tail_a)
+            return
         piv_sl = slice(lead, lead + chunk_rows)
         usable_p = np.asarray(pre["usable"])[piv_sl]
         poison_p = np.asarray(pre["add_sd_zero"])[piv_sl]
-        tail = tail_a = None
         if symmetric:
             local, tail_dev = accs[:2]
             sums = np.asarray(local, dtype=np.float64)
@@ -830,7 +988,9 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
         out["l2_ws"][p0:p1] = ws
         out["l2d_ws"][p0:p1] = wsd
         out["l2d_wse"][p0:p1] = wse
+        _log_and_checkpoint(ci, p0, p1, tail, tail_a)
 
+    def _log_and_checkpoint(ci, p0, p1, tail, tail_a):
         done.add(ci)
         if ck_dir is not None:
             tmp = ck_dir / f".tmp_chunk_{ci:06d}.npz"  # savez wants .npz
