@@ -465,6 +465,7 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     compiles its own executable (identical program, different device
     group) — ``snp_groups`` compiles total.
     """
+    t_enter = time.time()
     m, n = bed.n_snp, bed.n_samples
     B = config.block_size
     chunk_rows = max(B, (chunk_rows // B) * B)
@@ -1009,6 +1010,8 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     todo = [ci for ci in range(n_chunks) if ci not in done]
     n_resumed = len(done)
     t_start = time.time()
+    log.info("streaming setup %.1fs (windows/rowmiss-scan/metadata "
+             "staging); %d chunks to run", t_start - t_enter, len(todo))
     pool = ThreadPoolExecutor(max_workers=1)
     prefetch = pool.submit(read_band, todo[0]) if todo else None
     in_flight: deque = deque()  # (ci, pre, accs) pending collection

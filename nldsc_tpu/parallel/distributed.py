@@ -87,7 +87,8 @@ def estimate_lds_mesh(bfile: str, ld_wind: float, wind_metric: str,
                       maf_thr: float = 1e-5, std_thr: float = 1e-5,
                       rsq_thr: float | None = None, *, out: str | None = None,
                       extra: bool = False, block_size: int = 512,
-                      mesh=None, write_m: bool = True):
+                      mesh=None, write_m: bool = True,
+                      annot: str | None = None):
     """Mesh-level driver: ONE chromosome sharded across all hosts/devices.
 
     The end-to-end P4 path: each participant byte-range-decodes only its
@@ -151,8 +152,34 @@ def estimate_lds_mesh(bfile: str, ld_wind: float, wind_metric: str,
         g_global = unpack_bed(raw_global, n_samples=n, n_pad=n_pad,
                               pad_val=-1)
 
+    annot_global = annot_mat = annot_names = None
+    if annot is not None:
+        from ..io.ldscores import read_annot  # noqa: PLC0415
+
+        annot_mat, annot_names = read_annot(annot, ds.bim)
+        a_pad = np.zeros((m_pad, annot_mat.shape[1]), np.float32)
+        a_pad[:m] = np.asarray(annot_mat, dtype=np.float32)
+        if jax.process_count() > 1:
+            start, stop = shard_rows_for_process(m_pad, mesh)
+            annot_global = jax.make_array_from_process_local_data(
+                sharding, np.ascontiguousarray(a_pad[start:stop]),
+                (m_pad, a_pad.shape[1]))
+        else:
+            annot_global = jax.device_put(a_pad, sharding)
+
     result = ld_scores_sharded_global(g_global, positions, config, mesh,
-                                      m, n)
+                                      m, n, annot_global=annot_global)
+    if annot is not None:
+        from ..io.ldscores import (  # noqa: PLC0415
+            make_output_annot, write_m_files_annot)
+
+        out_df = make_output_annot(ds.bim, result, annot_names)
+        if out:
+            write_l2(out_df, out)
+            if write_m:
+                write_m_files_annot(result, annot_mat, annot_names, out)
+            return None
+        return out_df
     out_df = make_output(ds.bim, result, extra=extra)
     if out:
         write_l2(out_df, out)

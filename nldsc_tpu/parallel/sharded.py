@@ -519,7 +519,7 @@ def sharded_geometry(m: int, n: int, positions: np.ndarray, config, mesh):
 
 
 def ld_scores_sharded_global(g_global, positions: np.ndarray, config, mesh,
-                             m: int, n: int) -> dict:
+                             m: int, n: int, annot_global=None) -> dict:
     """Sharded LD scores on an ALREADY-sharded global genotype array.
 
     The mesh-level multi-host entry point (SURVEY §2.2 P4): each process
@@ -529,6 +529,9 @@ def ld_scores_sharded_global(g_global, positions: np.ndarray, config, mesh,
     matrix.  ``g_global`` must be (m_pad, n_pad) int8, padding rows/cols
     -1, sharded ``P(SNP_AXIS)`` over ``mesh``.
 
+    ``annot_global``: optional (m_pad, p) f32 annotation rows, sharded
+    like ``g_global`` (partitioned LD; routed full-band).
+
     ``has_missing`` is pinned True (the compiled program must be identical
     on every process; scanning the data would need a pre-pass collective).
     """
@@ -537,11 +540,14 @@ def ld_scores_sharded_global(g_global, positions: np.ndarray, config, mesh,
     if tuple(g_global.shape) != (m_pad, n_pad):
         raise ValueError(f"g_global shape {g_global.shape} != padded "
                          f"({m_pad}, {n_pad})")
+    if annot_global is not None:
+        kwargs["symmetric"] = False
     with mesh:
-        outs = _sharded_call(g_global, *meta, has_missing=True, **kwargs)
+        outs = _sharded_call(g_global, *meta, annot_global,
+                             has_missing=True, **kwargs)
 
-    l2, l2d, ws, wsd, wse, maf, rstd = outs
-    return {
+    l2, l2d, ws, wsd, wse, maf, rstd = outs[:7]
+    result = {
         "l2": np.asarray(l2, dtype=np.float64)[:m],
         "l2d": np.asarray(l2d, dtype=np.float64)[:m],
         "maf": np.asarray(maf, dtype=np.float64)[:m],
@@ -550,6 +556,10 @@ def ld_scores_sharded_global(g_global, positions: np.ndarray, config, mesh,
         "l2d_ws": np.asarray(wsd, dtype=np.int64)[:m],
         "l2d_wse": np.asarray(wse, dtype=np.int64)[:m],
     }
+    if annot_global is not None:
+        result["l2_annot"] = np.asarray(outs[7], dtype=np.float64)[:m]
+        result["l2d_annot"] = np.asarray(outs[8], dtype=np.float64)[:m]
+    return result
 
 
 def ld_scores_sharded(genotypes, positions: np.ndarray, config,

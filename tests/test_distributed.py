@@ -68,6 +68,42 @@ def test_mesh_level_end_to_end_matches_dense(tmp_path, rng):
     assert os.path.exists(out) and os.path.exists(str(tmp_path / "mesh.M"))
 
 
+def test_mesh_level_annot_matches_dense(tmp_path, rng):
+    """Partitioned LD through the mesh-level multi-host driver (r4):
+    annot rows assemble/shard like the genotype rows."""
+    import pandas as pd
+
+    from nldsc_tpu.config import LDConfig
+    from nldsc_tpu.io.plink import write_plink
+    from nldsc_tpu.ld.pipeline import compute_ld_scores
+
+    m, n = 256, 128
+    g = random_genotypes(rng, m, n, missing_rate=0.02)
+    pos = make_positions(m, spacing=700)
+    prefix = write_plink(tmp_path / "ma", g, bp=pos.astype(np.int64))
+    bim = pd.read_csv(prefix + ".bim", sep="\t", header=None)
+    annot = np.column_stack([np.ones(m),
+                             (rng.random(m) < 0.4).astype(np.float64)])
+    annot_path = str(tmp_path / "ma.annot")
+    pd.DataFrame({"SNP": bim[1], "base": annot[:, 0],
+                  "cat": annot[:, 1]}).to_csv(annot_path, sep="\t",
+                                              index=False)
+
+    mesh = snp_mesh(8)
+    df = dist.estimate_lds_mesh(prefix, ld_wind=6, wind_metric="kbp",
+                                maf_thr=0.01, std_thr=1e-4, block_size=16,
+                                mesh=mesh, annot=annot_path)
+    cfg = LDConfig(ld_wind=6, wind_metric="kbp", maf_thr=0.01,
+                   std_thr=1e-4, rsq_thr=None, block_size=16).resolve_rsq(m)
+    dense = compute_ld_scores(g, pos.astype(np.float64), cfg, annot=annot)
+    np.testing.assert_allclose(df["base.L2"].to_numpy(),
+                               dense["l2_annot"][:, 0], rtol=1e-5,
+                               atol=1e-4, equal_nan=True)
+    np.testing.assert_allclose(df["cat.L2D"].to_numpy(),
+                               dense["l2d_annot"][:, 1], rtol=1e-5,
+                               atol=1e-4, equal_nan=True)
+
+
 def test_multihost_driver_runs_locally(tmp_path, rng):
     from nldsc_tpu.io.plink import write_plink
 
