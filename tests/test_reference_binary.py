@@ -289,6 +289,30 @@ def test_executed_tail_byte_quirk(tmp_path, rng):
     assert np.abs(ref["l2"][both] - ora["l2"][both]).max() > 1e-3
 
 
+@pytest.mark.parametrize("seed", [11, 12, 13, 14])
+def test_executed_fuzz_parity(tmp_path, seed):
+    """Randomized executed-vs-model sweep: random missing + interior
+    sentinels + cm-metric fractional positions; the reference_exec_model
+    (window-predicate semantics plus the sentinel-truncation quirk) must
+    reproduce the binary exactly on counters and within f32 noise on
+    scores.  N % 4 == 0 keeps the tail-byte quirk out of scope (pinned
+    separately)."""
+    rng = np.random.default_rng(seed)
+    m, n = rng.integers(60, 200), int(rng.integers(16, 100)) * 4
+    g = random_genotypes(rng, m, n, missing_rate=float(rng.uniform(0, 0.1)))
+    # fractional cm-style positions with jitter; a couple of interior
+    # sentinels (never trailing: the reference reads uninitialized cache
+    # entries for trailing sentinels — an inherited UB, see refbinary)
+    pos = np.sort(rng.uniform(0.0, 50.0, size=m))
+    for i in rng.choice(np.arange(1, m - 2), size=2, replace=False):
+        pos[i] = -1.0
+    wind = float(rng.uniform(2.0, 30.0))
+    maf = float(rng.uniform(0.0, 0.1))
+    ref = run_reference(tmp_path, g, pos, wind=wind, maf=maf)
+    model = reference_exec_model(g, pos, wind=wind, maf_thr=maf)
+    assert_parity(ref, model)
+
+
 def test_executed_split_engine_parity(tmp_path, rng):
     """Row-missing data through the split-missing engine vs the executed
     binary (the engine-selection path production actually takes)."""
