@@ -51,6 +51,24 @@ def _pad_to(x: np.ndarray, size: int, fill) -> np.ndarray:
     return np.concatenate([x, np.full(pad_shape, fill, dtype=x.dtype)], axis=0)
 
 
+def _staged_put(arr: np.ndarray, device=None, chunk_bytes: int = 64 << 20):
+    """Host→device transfer in ~64 MB row chunks + one device concat.
+
+    A monolithic half-GB transfer was observed to wedge for 30+ minutes
+    on a degraded tunnel while chunked transfers kept moving at full
+    speed in the same session (PERFORMANCE.md); chunking also lets the
+    runtime pipeline the copies.  Bytes are identical — this cannot move
+    any output bit.
+    """
+    row_bytes = int(np.prod(arr.shape[1:], dtype=np.int64)) * arr.itemsize
+    rows = max(1, chunk_bytes // max(row_bytes, 1))
+    if arr.shape[0] <= rows:
+        return jnp.asarray(arr, device=device)
+    parts = [jnp.asarray(arr[i:i + rows], device=device)
+             for i in range(0, arr.shape[0], rows)]
+    return jnp.concatenate(parts, axis=0)
+
+
 def to_host_result(l2, l2d, ws, wsd, wse, maf, rstd, m: int) -> dict:
     """Assemble the reference ``LDScoreResult`` fields on host (first m rows)."""
     return {
@@ -140,7 +158,7 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
         # inside the device unpack
         pad_byte = np.uint8(0x55) if pad_val == -1 else np.uint8(0x00)
         raw = _pad_to(genotypes.raw, m_pad, pad_byte)
-        raw_dev = jnp.asarray(raw, device=device)
+        raw_dev = _staged_put(raw, device=device)
         g_dev = preprocess.unpack_bed(raw_dev, n_samples=n, n_pad=n_pad,
                                       pad_val=int(pad_val))
     else:
@@ -149,7 +167,7 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
             g = np.concatenate(
                 [g, np.full((m_pad, n_pad - n), pad_val, dtype=np.int8)],
                 axis=1)
-        g_dev = jnp.asarray(g, device=device)
+        g_dev = _staged_put(g, device=device)
 
     # measured on v5e (scripts/time_sym2.py, M=N=16384, W=1000): the
     # one-pass symmetric engine beats full-band BOTH with and without

@@ -56,6 +56,11 @@ with tempfile.TemporaryDirectory() as td:
     make_bfile(bench, 2)
 
     # --- decomposition (disk + tunnel), measured on the bench file ---
+    # transfer probed in 16 CHUNKS: a monolithic 537 MB jnp.asarray was
+    # observed to wedge for 30+ minutes on a degraded tunnel while the
+    # streaming engine's ~74 MB chunked transfers kept moving at full
+    # tunnel speed in the same session — chunked staging is not just
+    # faster-by-overlap, it is the robust transfer shape here
     ds = PlinkDataset.parse(bench)
     t0 = time.time()
     packed = ds.bed.read_raw()
@@ -63,14 +68,16 @@ with tempfile.TemporaryDirectory() as td:
     import jax
     import jax.numpy as jnp
     t0 = time.time()
-    raw_dev = jnp.asarray(packed.raw)
-    np.asarray(raw_dev[:1, :1])          # force the transfer
+    step = packed.raw.shape[0] // 16
+    for c0 in range(0, packed.raw.shape[0], step):
+        raw_dev = jnp.asarray(packed.raw[c0:c0 + step])
+        np.asarray(raw_dev[:1, :1])      # force each chunk's transfer
+        del raw_dev
     t_xfer = time.time() - t0
-    del raw_dev
     mb = packed.raw.nbytes / 1e6
     print(f"  decomposition: disk read {t_disk:.1f}s ({mb / t_disk:.0f} "
           f"MB/s) | host->device {t_xfer:.1f}s ({mb / t_xfer:.1f} MB/s "
-          f"tunnel)", flush=True)
+          f"tunnel, 16 chunks)", flush=True)
 
     for label, kw in (("auto", {}), ("streaming", dict(streaming=True,
                                                        chunk_rows=16384))):
