@@ -195,12 +195,19 @@ def est_ld(bfile, out, ld_wind_kb, ld_wind_cm, maf_thr, std_thr, rsq_thr,
               help="Checkpoint root for chunk-granular resume: each "
                    "chromosome checkpoints into <DIR>/<bfile-basename>/ "
                    "(streaming engine)")
+@click.option("--bucket-shapes/--no-bucket-shapes", "bucket_shapes",
+              default=True,
+              help="Pad each chromosome's compiled shape to a shared "
+                   "bucket so a genome reuses ~4 compiled programs "
+                   "instead of one per chromosome size (<=33% padded "
+                   "compute; outputs identical). Default on")
 @click.option("--display", is_flag=True, default=False,
               help="Display traceback")
 @handle_exception
 def est_ld_genome(bfiles, out_dir, ld_wind_kb, ld_wind_cm, maf_thr,
                   std_thr, rsq_thr, extra, streaming, chunk_rows,
-                  n_devices, shard_axis, annot, resume_dir):
+                  n_devices, shard_axis, annot, resume_dir,
+                  bucket_shapes):
     import glob as globmod  # noqa: PLC0415
     import os  # noqa: PLC0415
     import re  # noqa: PLC0415
@@ -244,7 +251,8 @@ def est_ld_genome(bfiles, out_dir, ld_wind_kb, ld_wind_cm, maf_thr,
                      chunk_rows=chunk_rows, n_devices=n_devices,
                      shard_samples=(shard_axis == "samples"),
                      shard_grid=(shard_axis == "grid"),
-                     annot=annot, resume_path=resume_path)
+                     annot=annot, resume_path=resume_path,
+                     bucket_shapes=bucket_shapes)
     log.info("ld-genome: %d chromosomes done", len(mine))
 
 

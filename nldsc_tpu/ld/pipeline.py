@@ -51,6 +51,32 @@ def _pad_to(x: np.ndarray, size: int, fill) -> np.ndarray:
     return np.concatenate([x, np.full(pad_shape, fill, dtype=x.dtype)], axis=0)
 
 
+def _bucket_rows(m_pad: int, B: int) -> int:
+    """Round the padded row count up to the next {1, 1.5} × 2^k multiple
+    of the block size (waste ≤ 33%).
+
+    Every distinct (m_pad, right_k/band_k) tuple compiles its own
+    executable; a 22-chromosome genome has 22 distinct sizes, so without
+    bucketing `ld-genome` pays one ~40-60 s compile per chromosome while
+    the compute itself is ~1 s (measured, scripts/time_genome.py).
+    Bucketing collapses a genome to ~4 shared programs; padded rows have
+    empty windows and unusable flags, so outputs are unchanged.
+    """
+    nb = -(-m_pad // B)
+    b = 1
+    while b < nb:
+        b *= 2
+    if b > nb and (b // 2) * 3 // 2 >= nb:
+        b = (b // 2) * 3 // 2
+    return b * B
+
+
+def _bucket_k(k: int, step: int = 2) -> int:
+    """Round a band width in blocks up to a multiple of ``step`` (a wider
+    band only adds masked, never-counted pairs)."""
+    return max(step, -(-k // step) * step)
+
+
 def _staged_put(arr: np.ndarray, device=None, chunk_bytes: int = 64 << 20):
     """Host→device transfer in ~64 MB row chunks + one device concat.
 
@@ -84,7 +110,8 @@ def to_host_result(l2, l2d, ws, wsd, wse, maf, rstd, m: int) -> dict:
 
 def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
                       config: LDConfig, *, annot: np.ndarray | None = None,
-                      device=None, progress=None) -> dict:
+                      device=None, progress=None,
+                      bucket_shapes: bool = False) -> dict:
     """LD scores for an in-core genotype matrix.
 
     Parameters
@@ -123,10 +150,15 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
     m, n = genotypes.shape
     B = config.block_size
     m_pad = -(-m // B) * B
+    if bucket_shapes:
+        # genome runs: share compiled programs across chromosome sizes
+        m_pad = _bucket_rows(m_pad, B)
     n_pad = -(-n // 128) * 128
 
     lo, hi, pos_ok = windows.window_bounds(positions, config.ld_wind)
     blk_lo, blk_hi, band_k = windows.band_blocks(lo, hi, B, m_pad // B)
+    if bucket_shapes:
+        band_k = _bucket_k(band_k)
 
     # padding-only missingness collapses analytically in the int8 engine,
     # so only REAL missing genotypes force the 6/8-matmul paths.  With no
@@ -203,6 +235,8 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
         if use_pallas and symmetric:
             from . import ld_pallas_sym  # noqa: PLC0415
             right_k = windows.right_band_blocks(blk_hi, B)
+            if bucket_shapes:
+                right_k = _bucket_k(right_k)
             l2, l2d, ws, wsd, wse = ld_pallas_sym.ld_scores_pallas_int8_sym(
                 *int8_args[:9], rsq_thr=float(config.rsq_thr),
                 block_size=B, right_k=right_k, n_samples=n,
@@ -217,6 +251,8 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
                 has_missing=has_missing)
         elif symmetric:
             right_k = windows.right_band_blocks(blk_hi, B)
+            if bucket_shapes:
+                right_k = _bucket_k(right_k)
             n_blocks = m_pad // B
             # --- per-row missing specialization (split engine) ---
             # the global has_missing static forces the 8-matmul epilogue on
@@ -367,6 +403,8 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
             "kernels; use '--engine f32' without --pallas for f32 slabs.")
     if symmetric:
         right_k = windows.right_band_blocks(blk_hi, B)
+        if bucket_shapes:
+            right_k = _bucket_k(right_k)
         l2, l2d, ws, wsd, wse = ld_xla.ld_scores_xla_sym(
             *args, jnp.float32(config.rsq_thr), block_size=B, band_k=band_k,
             right_k=right_k, n_samples=n, precision=config.matmul_precision)
@@ -470,6 +508,7 @@ def estimate_lds(
     int8_dot_dtype: str = "int8",
     split_missing: bool | None = None,
     progress: bool | None = None,
+    bucket_shapes: bool = False,
     verbose: int = 0,  # accepted for reference API drop-in compatibility
 ) -> pd.DataFrame | None:
     """Estimate additive + dominance LD scores from a PLINK bfile.
@@ -581,7 +620,7 @@ def estimate_lds(
                 else:
                     result = compute_ld_scores(
                         ds.bed.read_raw(), positions, config,
-                        annot=annot_mat)
+                        annot=annot_mat, bucket_shapes=bucket_shapes)
             dt = time.time() - t0
             log.info("Estimation completed: %d SNPs in %.2fs (%.0f SNPs/s)",
                      ds.n_snp, dt, ds.n_snp / max(dt, 1e-9))
@@ -663,7 +702,8 @@ def estimate_lds(
                              else ds.n_snp >= 20000)
                 cb = _progress_logger() if want_prog else None
                 result = compute_ld_scores(genotypes, positions, config,
-                                           progress=cb)
+                                           progress=cb,
+                                           bucket_shapes=bucket_shapes)
     dt = time.time() - t0
     log.info("Estimation completed: %d SNPs in %.2fs (%.0f SNPs/s)",
              ds.n_snp, dt, ds.n_snp / max(dt, 1e-9))

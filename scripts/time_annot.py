@@ -81,9 +81,53 @@ def make_fullband(annot):
     return full_pass
 
 
+def make_split_annot(annot):
+    """annot × split-missing (r4): clean symmetric annot scan + annot
+    δ-corrections — the route the pipeline selects for annot data with
+    a minority of contaminated rows (done-criterion: within ~1.5× of
+    clean annot)."""
+    from nldsc_tpu.ld import ld_split
+
+    rowmiss_h = np.zeros(M, dtype=bool)
+    rowmiss_h[::50] = True
+    plan = ld_split.plan_split_v2(rowmiss_h, lo, hi,
+                                  min(ld_split.SEG_ROWS_DEFAULT, M), M)
+    sd = tuple(jnp.asarray(plan[k]) for k in
+               ("miss_idx", "cs", "c_cnt", "xs", "x_cnt"))
+    rowmiss_dev = jnp.asarray(rowmiss_h)
+
+    @jax.jit
+    def full_pass(g_dev):
+        mk = (g_dev == 1) & rowmiss_dev[:, None] & \
+            (jax.lax.broadcasted_iota(jnp.int32, g_dev.shape, 1) % 20 == 0)
+        g_miss = jnp.where(mk, jnp.int8(-1), g_dev)
+        pre = ld_int8.preprocess_int8(g_miss, meta[0], jnp.float32(0.01),
+                                      n_samples=N, materialize_m=False)
+        dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(1e-4))
+        scal = ld_int8.stack_scalars(pre)
+        accs = ld_int8.sym_scan_segment(
+            pre["g"], pre["g"], pre["h"], scal, meta[1], meta[2],
+            pre["usable"], dom_ok, pre["add_sd_zero"], jnp.float32(1e-4),
+            jnp.int32(0), annot, block_size=B, right_k=right_k,
+            n_samples=N, n_scan_blocks=M // B, has_missing=False,
+            dot_dtype="int8")
+        m_c = ld_split.compact_missing_rows(g_miss, sd[0])
+        deltas = ld_split.split_corrections(
+            pre["g"], m_c, pre["h"], scal, meta[1], meta[2],
+            pre["usable"], dom_ok, rowmiss_dev, jnp.float32(1e-4),
+            jnp.int32(M), *sd, annot,
+            seg_rows=plan["seg_rows"], n_segs=plan["n_segs"],
+            p_band=plan["p_band"], p_x=plan["p_x"], n_samples=N,
+            dot_dtype="int8")
+        return accs[6] + deltas[3]          # l2_annot credits
+    return full_pass
+
+
 passes = {"plain": make_pass(None),
           f"annot p={P}": make_pass(jnp.asarray(annot_h)),
-          f"fullband annot p={P}": make_fullband(jnp.asarray(annot_h))}
+          f"fullband annot p={P}": make_fullband(jnp.asarray(annot_h)),
+          f"annot p={P} split 2% rows": make_split_annot(
+              jnp.asarray(annot_h))}
 g_in = [gen(jax.random.PRNGKey(k)) for k in range(REPS + 1)]
 for g in g_in:
     np.asarray(g[:1, :1])

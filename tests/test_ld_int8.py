@@ -148,3 +148,54 @@ def test_segmented_progress_matches_single_scan(rng):
         np.testing.assert_array_equal(seg[k], plain[k], err_msg=k)
     assert ticks[0] == (0, 260) and ticks[-1] == (260, 260)
     assert len(ticks) >= 3  # real intermediate ticks
+
+
+def test_bucket_shapes_identical_outputs(rng):
+    """bucket_shapes pads the compiled geometry only: outputs equal the
+    unbucketed run bitwise (padded rows have empty windows + unusable
+    flags; wider bands add only masked pairs)."""
+    from nldsc_tpu.config import LDConfig
+    from nldsc_tpu.ld.pipeline import _bucket_rows, compute_ld_scores
+
+    from utils import make_positions, random_genotypes
+
+    m, n = 330, 160                      # m_pad 352 -> bucket 384 (B=32)
+    g = random_genotypes(rng, m, n, missing_rate=0.02)
+    pos = make_positions(m, spacing=800, jitter_rng=rng)
+    cfg = LDConfig(ld_wind=9000.0, wind_metric="bp", maf_thr=0.01,
+                   std_thr=1e-4, rsq_thr=1e-3, block_size=32)
+    plain = compute_ld_scores(g, pos, cfg)
+    bucketed = compute_ld_scores(g, pos, cfg, bucket_shapes=True)
+    for k in plain:
+        np.testing.assert_array_equal(plain[k], bucketed[k], err_msg=k)
+
+    annot = np.column_stack([np.ones(m), (rng.random(m) < 0.4).astype(float)])
+    pa = compute_ld_scores(g, pos, cfg, annot=annot)
+    pb = compute_ld_scores(g, pos, cfg, annot=annot, bucket_shapes=True)
+    for k in ("l2_annot", "l2d_annot"):
+        np.testing.assert_allclose(pa[k], pb[k], rtol=1e-6, atol=1e-6,
+                                   equal_nan=True, err_msg=k)
+
+    assert _bucket_rows(352, 32) in (384, 512)
+    # idempotent at bucket sizes
+    assert _bucket_rows(_bucket_rows(352, 32), 32) == _bucket_rows(352, 32)
+
+
+def test_bucket_shapes_collapse_genome():
+    """The compile-shape tuples of a 20-chromosome genome collapse to a
+    handful under bucketing (the compile-per-size cost ld-genome pays is
+    mechanical: one executable per distinct (m_pad, band_k, right_k))."""
+    from nldsc_tpu.ld.pipeline import _bucket_k, _bucket_rows
+
+    B = 512
+    sizes = [8192 + (c % 5) * 2048 for c in range(1, 21)]
+    plain = {(-(-m // B) * B,) for m in sizes}
+    bucketed = {(_bucket_rows(-(-m // B) * B, B),) for m in sizes}
+    assert len(plain) == 5
+    assert len(bucketed) <= 3
+    # realistic chromosome sizes: 22 distinct -> few buckets
+    real = [int(x) for x in np.linspace(15000, 120000, 22)]
+    plain_r = {(-(-m // B) * B,) for m in real}
+    buck_r = {(_bucket_rows(-(-m // B) * B, B),) for m in real}
+    assert len(plain_r) == 22 and len(buck_r) <= 7
+    assert _bucket_k(3) == 4 and _bucket_k(4) == 4 and _bucket_k(1) == 2
