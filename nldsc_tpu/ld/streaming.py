@@ -331,20 +331,28 @@ def _chunk_dispatch_sym(g_band, meta_dev, p0, m_pad, thresholds,
         has_missing=(False if use_split else has_missing),
         dot_dtype=dot_dtype)
     local, tail = accs[:2]
+    local_a = tail_a = None
+    if annot_full is not None:
+        local_a, tail_a = accs[2], accs[3]
     if use_split:
         from .ld_split import (  # noqa: PLC0415
             compact_missing_rows, split_corrections)
 
         miss_idx, lo_b, hi_b, rowmiss, cs, c_cnt, xs, x_cnt = split_chunk
-        l2_d, l2d_d, wse_d = split_corrections(
+        sc_out = split_corrections(
             pre["g"], compact_missing_rows(g, miss_idx), pre["h"],
             stack_scalars(pre), lo_b, hi_b, pre["usable"], dom_ok,
             rowmiss, rsq_thr, jnp.int32(chunk_rows), miss_idx, cs, c_cnt,
-            xs, x_cnt, seg_rows=seg_rows, n_segs=n_segs, p_band=p_band,
-            p_x=p_x, n_samples=n_samples, dot_dtype=dot_dtype)
-        delta = _fold_split_deltas(l2_d, l2d_d, wse_d)
+            xs, x_cnt, annot_b, seg_rows=seg_rows, n_segs=n_segs,
+            p_band=p_band, p_x=p_x, n_samples=n_samples,
+            dot_dtype=dot_dtype)
+        delta = _fold_split_deltas(*sc_out[:3])
         local = local + delta[:, :chunk_rows]
         tail = tail + delta[:, chunk_rows:]
+        if annot_full is not None:
+            da = jnp.stack(sc_out[3:])           # (2, band_rows, p)
+            local_a = local_a + da[:, :chunk_rows]
+            tail_a = tail_a + da[:, chunk_rows:]
 
     zeros = jnp.zeros(chunk_rows, jnp.float32)
     stats = jnp.stack([
@@ -354,7 +362,7 @@ def _chunk_dispatch_sym(g_band, meta_dev, p0, m_pad, thresholds,
     payload = jnp.concatenate([local, tail, stats], axis=1)
     if annot_full is None:
         return payload
-    return payload, jnp.concatenate([accs[2], accs[3]], axis=1)
+    return payload, jnp.concatenate([local_a, tail_a], axis=1)
 
 
 def _finalize_np(l2_acc, l2d_acc, ws, wsd, wse, poison, usable, add_sd_zero):
@@ -440,7 +448,9 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     the annot credits mirror through the same per-direction contractions
     as the chunk pass (``_banded_chunk_int8_sym`` annot epilogue) — see
     PERFORMANCE.md's measured-selection table.  Composes with ``devices``
-    round-robin; NOT with ``sample_mesh``/``grid``.
+    round-robin AND with the split-missing corrections (annot δ-credits
+    fold into the chunk's annot payload, r4); NOT with
+    ``sample_mesh``/``grid``.
 
     ``devices``: optional list of JAX devices — chunks are dispatched
     round-robin across them (each chunk's band is self-contained, so no
@@ -540,7 +550,7 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     from .ld_split import SEG_ROWS_DEFAULT  # noqa: PLC0415
     split_seg = min(SEG_ROWS_DEFAULT, band_rows)
     split_nseg = -(-band_rows // split_seg)
-    if (symmetric and annot is None and samp_meshes is None and use_packed
+    if (symmetric and samp_meshes is None and use_packed
             and config.split_missing is not False):
         from ..io.plink import scan_rowmiss  # noqa: PLC0415
         from .ld_split import plan_split_v2  # noqa: PLC0415

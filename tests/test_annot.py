@@ -239,6 +239,33 @@ def test_annot_sharded_matches_dense(axis):
                                    equal_nan=True, err_msg=k)
 
 
+def test_annot_streaming_split_matches_dense(tmp_path):
+    """Streaming annot × split-missing (r4): the chunk annot payload
+    absorbs the annot δ-corrections; equals the dense annot engine."""
+    from nldsc_tpu.io.plink import BedReader, write_plink
+    from nldsc_tpu.ld.pipeline import compute_ld_scores
+    from nldsc_tpu.ld.streaming import compute_ld_scores_streaming
+
+    rng = np.random.default_rng(51)
+    g, pos, annot = _row_missing(rng, m=520, n=220)
+    prefix = write_plink(tmp_path / "sas", g, bp=pos.astype(np.int64))
+    bed = BedReader(prefix + ".bed", g.shape[0], g.shape[1])
+    config = LDConfig(ld_wind=WIND, wind_metric="bp", maf_thr=MAF,
+                      std_thr=STD, rsq_thr=1e-3, block_size=32,
+                      split_missing=True)
+    res = compute_ld_scores_streaming(bed, pos, config, chunk_rows=128,
+                                      annot=annot)
+    dense = compute_ld_scores(g, pos, config, annot=annot)
+    for k in ("l2_ws", "l2d_ws", "l2d_wse"):
+        np.testing.assert_array_equal(res[k], dense[k], err_msg=k)
+    for k in ("l2", "l2d"):
+        np.testing.assert_allclose(res[k], dense[k], rtol=2e-5, atol=2e-4,
+                                   equal_nan=True, err_msg=k)
+    for k in ("l2_annot", "l2d_annot"):
+        np.testing.assert_allclose(res[k], dense[k], rtol=5e-5, atol=5e-4,
+                                   equal_nan=True, err_msg=k)
+
+
 def test_annot_cli_sharded(tmp_path):
     """estimate_lds --annot now honors n_devices/shard flags end-to-end."""
     import jax
