@@ -7,6 +7,7 @@ weight sum (``reweigh``, ``irwls.py:12-41``).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import jackknife as jk
@@ -22,6 +23,18 @@ def reweigh(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return x * (w / jnp.sum(w))
 
 
+@jax.jit
+def _wls_core(x, y, w):
+    """Reweigh + solve as one compiled program (no w>0 validation — the
+    caller's weight functions clip/guard; ``wls`` keeps the check for
+    direct use).  Dtype dispatch is trace-static."""
+    xw = x * (w / jnp.sum(w))
+    yw = y * (w / jnp.sum(w))
+    if xw.dtype == jnp.float32:
+        return jk.solve_posdef(xw.T @ xw, xw.T @ yw)
+    return jnp.linalg.lstsq(xw, yw)[0]
+
+
 def wls(x: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Weighted least squares; returns the coefficient column (p, 1).
 
@@ -33,11 +46,9 @@ def wls(x: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     well-conditioned enough that the difference vs QR is below the
     on-device parity tolerance (tests/test_h2_ondevice.py).
     """
-    xw = reweigh(x, w)
-    yw = reweigh(y, w)
-    if xw.dtype == jnp.float32:
-        return jk.solve_posdef(xw.T @ xw, xw.T @ yw)
-    return jnp.linalg.lstsq(xw, yw)[0]
+    if bool(jnp.any(w <= 0)):
+        raise ValueError("Weights must be > 0")
+    return _wls_core(x, y, w)
 
 
 def irwls(x: jnp.ndarray, y: jnp.ndarray, update_func, n_blocks: int,

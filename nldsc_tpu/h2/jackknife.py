@@ -21,9 +21,11 @@ removes the only badly-ordered accumulation.  Validated at ≤2e-5 relative
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 from jax import ops as jops
@@ -165,17 +167,19 @@ def _result(est, delete_values, separators) -> JackknifeResult:
                            delete_values=delete_values, separators=separators)
 
 
-def lstsq_jackknife_fast(x: jnp.ndarray, y: jnp.ndarray,
-                         n_blocks: int | None = None,
-                         separators: np.ndarray | None = None) -> JackknifeResult:
-    """Fast block jackknife for the regression y ~ x."""
-    n, p = x.shape
-    separators = _check_separators(n, n_blocks, separators)
-    ids = jnp.asarray(block_ids(separators, n))
-    nb = len(separators) - 1
+@partial(jax.jit, static_argnames=("nb",))
+def _jk_fast_core(x, y, ids, *, nb: int):
+    """The whole fast-jackknife compute as ONE compiled program.
 
+    The on-device h2 path previously issued every jnp op eagerly — one
+    remote compile each, 189 per estimate (measured); this seam plus the
+    ``_wls_core`` one collapse the bulk of them.  Numerics unchanged
+    (same ops, same order — jit only fuses the schedule).
+    """
+    n, p = x.shape
     # per-block partial sums of XᵀX (nb, p, p) and Xᵀy (nb, p)
-    xtx_b = jops.segment_sum(x[:, :, None] * x[:, None, :], ids, num_segments=nb)
+    xtx_b = jops.segment_sum(x[:, :, None] * x[:, None, :], ids,
+                             num_segments=nb)
     xty_b = jops.segment_sum(x * y, ids, num_segments=nb)
 
     if x.dtype == jnp.float32:
@@ -191,14 +195,31 @@ def lstsq_jackknife_fast(x: jnp.ndarray, y: jnp.ndarray,
         xty_del = (xty_hi - xty_b) + xty_lo
         est = solve_posdef(xtx, xty[:, None]).reshape(1, p)
         delete = solve_posdef(xtx_del, xty_del[..., None]).reshape(nb, p)
-        return _result(est, delete, separators)
-    xtx = jnp.sum(xtx_b, axis=0)
-    xty = jnp.sum(xty_b, axis=0)
-    xtx_del = xtx[None] - xtx_b
-    xty_del = xty[None] - xty_b
-    est = jnp.linalg.solve(xtx, xty[:, None]).reshape(1, p)
-    delete = jnp.linalg.solve(xtx_del, xty_del[..., None]).reshape(nb, p)
-    return _result(est, delete, separators)
+    else:
+        xtx = jnp.sum(xtx_b, axis=0)
+        xty = jnp.sum(xty_b, axis=0)
+        xtx_del = xtx[None] - xtx_b
+        xty_del = xty[None] - xty_b
+        est = jnp.linalg.solve(xtx, xty[:, None]).reshape(1, p)
+        delete = jnp.linalg.solve(xtx_del, xty_del[..., None]).reshape(nb, p)
+    pseudo = delete_values_to_pseudovalues(delete, est)
+    jk_est, jk_var, jk_std, jk_cov = jackknife_moments(pseudo)
+    return est, delete, jk_est, jk_var, jk_std, jk_cov
+
+
+def lstsq_jackknife_fast(x: jnp.ndarray, y: jnp.ndarray,
+                         n_blocks: int | None = None,
+                         separators: np.ndarray | None = None) -> JackknifeResult:
+    """Fast block jackknife for the regression y ~ x."""
+    n, p = x.shape
+    separators = _check_separators(n, n_blocks, separators)
+    ids = jnp.asarray(block_ids(separators, n))
+    nb = len(separators) - 1
+    est, delete, jk_est, jk_var, jk_std, jk_cov = _jk_fast_core(
+        x, y, ids, nb=nb)
+    return JackknifeResult(est=est, jk_est=jk_est, jk_var=jk_var,
+                           jk_std=jk_std, jk_cov=jk_cov,
+                           delete_values=delete, separators=separators)
 
 
 def lstsq_jackknife_slow(x: jnp.ndarray, y: jnp.ndarray,

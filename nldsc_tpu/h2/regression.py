@@ -30,6 +30,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..core.logging import log
@@ -82,8 +83,13 @@ def h2_obs_to_liability(h2_obs: float, P: float, K: float) -> float:
     return h2_obs * conversion
 
 
+@jax.jit
 def weights_additive(ld, w_ld, N, M_tot, hsq, intercept=None):
-    """Heteroskedasticity × overcounting weights (regressions.py:465-503)."""
+    """Heteroskedasticity × overcounting weights (regressions.py:465-503).
+
+    Jitted (one compiled program instead of ~10 eager dispatches — the
+    on-device path pays a remote compile per eager op; a handful of
+    distinct python-float intercept values just means a few traces)."""
     if intercept is None:
         intercept = 1.0
     hsq = jnp.clip(hsq, 0.0, 1.0)
@@ -94,6 +100,7 @@ def weights_additive(ld, w_ld, N, M_tot, hsq, intercept=None):
     return het_w / w_ld
 
 
+@jax.jit
 def weights_dominant(ld, w_ld, N, M_tot, hsq, intercept=None):
     """Dominance weights: +1e-10 guard for the zero intercept
     (regressions.py:557-595)."""
@@ -107,6 +114,7 @@ def weights_dominant(ld, w_ld, N, M_tot, hsq, intercept=None):
     return het_w / w_ld
 
 
+@jax.jit
 def _aggregate(y, x_tot, N, M_tot, intercept):
     """Initial h² guess (regressions.py:255-261)."""
     return M_tot * (jnp.mean(y) - intercept) / jnp.mean(x_tot * N)

@@ -7,26 +7,9 @@ duplicate rs numbers.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import pandas as pd
 
 from ..core.logging import log
-
-_COMPRESSED_EXTS = {
-    ".gz", ".bz2", ".zip", ".xz", ".zst", ".tar", ".tar.gz", ".tar.xz",
-    ".tar.bz2",
-}
-
-
-def sniff_compression(filename: str) -> str | None:
-    suffixes = Path(filename).suffixes[-2:]
-    long, short = "".join(suffixes), (suffixes[-1] if suffixes else "")
-    if long in _COMPRESSED_EXTS:
-        return long
-    if short in _COMPRESSED_EXTS:
-        return short
-    return None
 
 
 def read_sumstats(path: str, alleles: bool = False,

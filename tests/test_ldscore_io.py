@@ -80,7 +80,7 @@ def test_use_m_prefers_dot_m(tmp_path, rng):
 def test_sumstats_reader_variants(tmp_path, rng):
     import gzip
 
-    from nldsc_tpu.io.sumstats import read_sumstats, sniff_compression
+    from nldsc_tpu.io.sumstats import read_sumstats
 
     df = pd.DataFrame({
         "SNP": [f"rs{i}" for i in range(50)] + ["rs0"],  # dup
@@ -102,6 +102,5 @@ def test_sumstats_reader_variants(tmp_path, rng):
     gz = tmp_path / "ss.sumstats.gz"
     with gzip.open(gz, "wt") as f:
         df.to_csv(f, sep="\t", index=False, na_rep=".")
-    assert sniff_compression(str(gz)) == ".gz"
     out_gz = read_sumstats(str(gz))
     pd.testing.assert_frame_equal(out_gz, out)
