@@ -577,16 +577,34 @@ def estimate_lds(
             if streaming:
                 from .streaming import (  # noqa: PLC0415
                     compute_ld_scores_streaming)
-                if shard_grid or shard_samples:
-                    raise NLDSCParameterError(
-                        "--annot --streaming supports --shard-axis snp "
-                        "only (sample/grid-sharded streaming carries no "
-                        "annot epilogue yet); drop --shard-axis or run "
-                        "in-core")
-                devs = avail_dev[:n_dev] if n_dev > 1 else None
-                result = compute_ld_scores_streaming(
-                    ds.bed, positions, config, chunk_rows=chunk_rows,
-                    resume_path=resume_path, annot=annot_mat, devices=devs)
+
+                grid_shape = _grid_shape(n_dev) if shard_grid else None
+                if grid_shape is not None and n_dev > 1:
+                    from ..parallel.grid_sharded import (  # noqa: PLC0415
+                        grid_mesh)
+
+                    r, c = grid_shape
+                    log.info("Partitioned streaming on a %dx%d "
+                             "snp-x-sample GRID", r, c)
+                    result = compute_ld_scores_streaming(
+                        ds.bed, positions, config, chunk_rows=chunk_rows,
+                        resume_path=resume_path, annot=annot_mat,
+                        grid=grid_mesh(r, c))
+                elif shard_samples and n_dev > 1:
+                    from ..parallel import snp_mesh  # noqa: PLC0415
+
+                    log.info("Partitioned streaming on a %d-device "
+                             "SAMPLE mesh", n_dev)
+                    result = compute_ld_scores_streaming(
+                        ds.bed, positions, config, chunk_rows=chunk_rows,
+                        resume_path=resume_path, annot=annot_mat,
+                        sample_mesh=snp_mesh(n_dev))
+                else:
+                    devs = avail_dev[:n_dev] if n_dev > 1 else None
+                    result = compute_ld_scores_streaming(
+                        ds.bed, positions, config, chunk_rows=chunk_rows,
+                        resume_path=resume_path, annot=annot_mat,
+                        devices=devs)
             else:
                 grid_shape = _grid_shape(n_dev) if shard_grid else None
                 if n_dev > 1 and grid_shape is not None:

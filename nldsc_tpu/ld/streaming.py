@@ -448,9 +448,10 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     the annot credits mirror through the same per-direction contractions
     as the chunk pass (``_banded_chunk_int8_sym`` annot epilogue) — see
     PERFORMANCE.md's measured-selection table.  Composes with ``devices``
-    round-robin AND with the split-missing corrections (annot δ-credits
-    fold into the chunk's annot payload, r4); NOT with
-    ``sample_mesh``/``grid``.
+    round-robin, with the split-missing corrections (annot δ-credits
+    fold into the chunk's annot payload, r4), and with
+    ``sample_mesh``/``grid`` (replicated band annotations contracted
+    after the per-tile psums).
 
     ``devices``: optional list of JAX devices — chunks are dispatched
     round-robin across them (each chunk's band is self-contained, so no
@@ -513,9 +514,6 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
             raise ValueError("sample_mesh and devices are mutually "
                              "exclusive — the mesh already uses its devices")
         which = "grid-sharded" if grid is not None else "sample-sharded"
-        if annot is not None:
-            raise ValueError(f"{which} streaming does not support "
-                             "partitioned (--annot) runs yet")
         if not symmetric:
             raise ValueError(f"{which} streaming requires the "
                              "symmetric integer engine (use_int8, "
@@ -788,21 +786,29 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
             cols = NamedSharding(mesh_c,
                                  P(None, mesh_c.axis_names[0]))
             raw_dev = jax.device_put(g_band, cols)
-            local, tail, usable, add_sd_zero, maf, rstd = \
-                sample_sharded_chunk_sym(
-                    raw_dev, jnp.asarray(pos_ok_band),
-                    jnp.asarray(lo_pad[p0:p1]), jnp.asarray(hi_pad[p0:p1]),
-                    jnp.int32(p0), jnp.int32(m_pad),
-                    jnp.float32(config.rsq_thr), mesh=mesh_c,
-                    packed=use_packed, maf_thr=float(config.maf_thr),
-                    std_thr=float(config.std_thr), n_samples=n,
-                    n_pad_total=n_pad, block_size=B, right_k=right_k,
-                    n_piv_blocks=n_piv_blocks,
-                    has_missing=chunk_has_missing,
-                    dot_dtype=config.int8_dot_dtype)
+            annot_b = None
+            if annot_pad is not None:
+                ab = np.zeros((band_rows, annot_pad.shape[1]), np.float32)
+                a0, a1 = max(band_lo, 0), min(band_lo + band_rows, m_ext)
+                if a1 > a0:
+                    ab[a0 - band_lo:a1 - band_lo] = annot_pad[a0:a1]
+                annot_b = jax.device_put(ab, NamedSharding(mesh_c, P()))
+            outs = sample_sharded_chunk_sym(
+                raw_dev, jnp.asarray(pos_ok_band),
+                jnp.asarray(lo_pad[p0:p1]), jnp.asarray(hi_pad[p0:p1]),
+                jnp.int32(p0), jnp.int32(m_pad),
+                jnp.float32(config.rsq_thr), annot_b, mesh=mesh_c,
+                packed=use_packed, maf_thr=float(config.maf_thr),
+                std_thr=float(config.std_thr), n_samples=n,
+                n_pad_total=n_pad, block_size=B, right_k=right_k,
+                n_piv_blocks=n_piv_blocks,
+                has_missing=chunk_has_missing,
+                dot_dtype=config.int8_dot_dtype)
+            accs = outs[:-4]            # (local, tail[, local_a, tail_a])
+            usable, add_sd_zero, maf, rstd = outs[-4:]
             pre = {"usable": usable, "add_sd_zero": add_sd_zero,
                    "maf": maf, "rstd": rstd}
-            return pre, (local, tail)
+            return pre, accs
 
         if sym_fast:
             use_split_c = (split_plans is not None

@@ -180,15 +180,20 @@ def _sample_sharded_call(g, pos_ok, lo, hi, blk_lo, blk_hi, annot=None, *,
 
 
 def _sample_chunk_shard_fn(raw_band, pos_ok_band, lo_piv, hi_piv, band_g0,
-                           m_pad, rsq_thr, *, packed, maf_thr, std_thr,
-                           n_samples, n_pad_total, block_size, right_k,
-                           n_piv_blocks, has_missing, dot_dtype, axis):
+                           m_pad, rsq_thr, annot_b=None, *, packed,
+                           maf_thr, std_thr, n_samples, n_pad_total,
+                           block_size, right_k, n_piv_blocks, has_missing,
+                           dot_dtype, axis):
     """Per-shard body of one streaming chunk with the SAMPLE axis sharded.
 
     ``raw_band``: this shard's sample columns of the chunk band — packed
     2-bit .bed bytes (band_rows, bytes_per_snp/d) unpacked on the shard,
     or int8 codes (band_rows, N_pad/d).  Per-SNP stats and every tile's
     S-matrices are psum'd, so outputs are replicated (deterministic).
+
+    ``annot_b``: optional f32 (band_rows, p) band annotations,
+    REPLICATED — contracted after the per-tile psums, so partitioned
+    credits are identical on every shard.
     """
     from ..ld.preprocess import unpack_bed  # noqa: PLC0415
     from ..ld.streaming import _banded_chunk_int8_sym  # noqa: PLC0415
@@ -204,13 +209,13 @@ def _sample_chunk_shard_fn(raw_band, pos_ok_band, lo_piv, hi_piv, band_g0,
                                 n_samples=n_samples,
                                 n_pad_total=n_pad_total, axis=axis)
     dom_ok = pre["usable"] & (pre["rstd"] > jnp.float32(std_thr))
-    local, tail = _banded_chunk_int8_sym(
-        pre, dom_ok, lo_piv, hi_piv, band_g0, m_pad, rsq_thr,
+    accs = _banded_chunk_int8_sym(
+        pre, dom_ok, lo_piv, hi_piv, band_g0, m_pad, rsq_thr, annot_b,
         block_size=block_size, right_k=right_k, n_samples=n_samples,
         n_piv_blocks=n_piv_blocks, has_missing=has_missing,
         dot_dtype=dot_dtype, psum_axis=axis, n_pad_total=n_pad_total)
-    return (local, tail, pre["usable"], pre["add_sd_zero"], pre["maf"],
-            pre["rstd"])
+    return accs + (pre["usable"], pre["add_sd_zero"], pre["maf"],
+                   pre["rstd"])
 
 
 @partial(jax.jit,
@@ -219,16 +224,19 @@ def _sample_chunk_shard_fn(raw_band, pos_ok_band, lo_piv, hi_piv, band_g0,
                           "right_k", "n_piv_blocks", "has_missing",
                           "dot_dtype"))
 def sample_sharded_chunk_sym(raw_band, pos_ok_band, lo_piv, hi_piv, band_g0,
-                             m_pad, rsq_thr, *, mesh, packed, maf_thr,
-                             std_thr, n_samples, n_pad_total, block_size,
-                             right_k, n_piv_blocks, has_missing, dot_dtype):
+                             m_pad, rsq_thr, annot_b=None, *, mesh, packed,
+                             maf_thr, std_thr, n_samples, n_pad_total,
+                             block_size, right_k, n_piv_blocks,
+                             has_missing, dot_dtype):
     """One symmetric streaming chunk with the SAMPLE axis over ``mesh``.
 
     The out-of-core × sample-sharded composition (2-D scale: M streamed
     from disk, N scattered over devices).  Same return contract as
     :func:`nldsc_tpu.ld.streaming._banded_chunk_int8_sym` plus the
     replicated per-SNP stats the streaming collector needs:
-    ``(local, tail, usable, add_sd_zero, maf, rstd)``.
+    ``(local, tail, [local_a, tail_a,] usable, add_sd_zero, maf, rstd)``
+    — the annot pair present when ``annot_b`` (replicated band
+    annotations) is given.
     """
     axis = mesh.axis_names[0]
     fn = partial(_sample_chunk_shard_fn, packed=packed, maf_thr=maf_thr,
@@ -236,11 +244,18 @@ def sample_sharded_chunk_sym(raw_band, pos_ok_band, lo_piv, hi_piv, band_g0,
                  n_pad_total=n_pad_total, block_size=block_size,
                  right_k=right_k, n_piv_blocks=n_piv_blocks,
                  has_missing=has_missing, dot_dtype=dot_dtype, axis=axis)
+    in_specs = (P(None, axis), P(), P(), P(), P(), P(), P())
+    args = (raw_band, pos_ok_band, lo_piv, hi_piv, band_g0, m_pad, rsq_thr)
+    n_out = 6
+    if annot_b is not None:
+        in_specs = in_specs + (P(),)
+        args = args + (annot_b,)
+        n_out = 8
     return jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(P(None, axis), P(), P(), P(), P(), P(), P()),
-        out_specs=tuple([P()] * 6),
-    )(raw_band, pos_ok_band, lo_piv, hi_piv, band_g0, m_pad, rsq_thr)
+        in_specs=in_specs,
+        out_specs=tuple([P()] * n_out),
+    )(*args)
 
 
 def ld_scores_sample_sharded(genotypes, positions: np.ndarray,

@@ -266,6 +266,38 @@ def test_annot_streaming_split_matches_dense(tmp_path):
                                    equal_nan=True, err_msg=k)
 
 
+@pytest.mark.parametrize("axis", ["samples", "grid"])
+def test_annot_streaming_meshes_match_dense(tmp_path, axis):
+    """Streaming annot over the sample mesh and the 2-D grid (r4: the
+    last annot gap) == the dense annot engine."""
+    import jax
+
+    from nldsc_tpu.io.plink import BedReader, write_plink
+    from nldsc_tpu.ld.pipeline import compute_ld_scores
+    from nldsc_tpu.ld.streaming import compute_ld_scores_streaming
+    from nldsc_tpu.parallel import snp_mesh
+    from nldsc_tpu.parallel.grid_sharded import grid_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(52)
+    g, pos, annot = _setup(rng, m=384, n=200, missing_rate=0.02)
+    prefix = write_plink(tmp_path / "sm", g, bp=pos.astype(np.int64))
+    bed = BedReader(prefix + ".bed", g.shape[0], g.shape[1])
+    config = LDConfig(ld_wind=WIND, wind_metric="bp", maf_thr=MAF,
+                      std_thr=STD, rsq_thr=1e-3, block_size=32)
+    kw = (dict(sample_mesh=snp_mesh(8)) if axis == "samples"
+          else dict(grid=grid_mesh(4, 2)))
+    res = compute_ld_scores_streaming(bed, pos, config, chunk_rows=128,
+                                      annot=annot, **kw)
+    dense = compute_ld_scores(g, pos, config, annot=annot)
+    for k in ("l2_ws", "l2d_ws", "l2d_wse"):
+        np.testing.assert_array_equal(res[k], dense[k], err_msg=k)
+    for k in ("l2", "l2d", "l2_annot", "l2d_annot"):
+        np.testing.assert_allclose(res[k], dense[k], rtol=5e-5, atol=5e-4,
+                                   equal_nan=True, err_msg=k)
+
+
 def test_annot_cli_sharded(tmp_path):
     """estimate_lds --annot now honors n_devices/shard flags end-to-end."""
     import jax
