@@ -255,15 +255,22 @@ def lstsq_jackknife_slow(x: jnp.ndarray, y: jnp.ndarray,
     return _result(est, delete, separators)
 
 
-def ratio_jackknife(est: jnp.ndarray, numer_delete: jnp.ndarray,
-                    denom_delete: jnp.ndarray) -> JackknifeResult:
-    """Jackknife for a ratio estimate (jackknife.py:446-527)."""
+@jax.jit
+def _ratio_core(est, numer_delete, denom_delete):
     nb = numer_delete.shape[0]
     pseudo = nb * est - (nb - 1) * numer_delete / denom_delete
     jk_est, jk_var, jk_std, jk_cov = jackknife_moments(pseudo)
+    return jk_est, jk_var, jk_std, jk_cov, numer_delete / denom_delete
+
+
+def ratio_jackknife(est: jnp.ndarray, numer_delete: jnp.ndarray,
+                    denom_delete: jnp.ndarray) -> JackknifeResult:
+    """Jackknife for a ratio estimate (jackknife.py:446-527)."""
+    jk_est, jk_var, jk_std, jk_cov, delete = _ratio_core(
+        est, numer_delete, denom_delete)
     return JackknifeResult(est=est, jk_est=jk_est, jk_var=jk_var,
                            jk_std=jk_std, jk_cov=jk_cov,
-                           delete_values=numer_delete / denom_delete,
+                           delete_values=delete,
                            separators=np.array([]))
 
 

@@ -27,6 +27,7 @@ behavior, SURVEY §2.3-Q11/Q12):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 
@@ -128,6 +129,45 @@ def _remap_separators(separators: np.ndarray, mask: np.ndarray) -> np.ndarray:
     return np.hstack([0, inner, len(mask)])
 
 
+@partial(jax.jit, static_argnames=("con",))
+def _prep_design(y, x, M, N, con):
+    """Regression preamble as one compiled program (each eager op is a
+    separate remote compile on the on-device path)."""
+    M_tot = jnp.sum(M)
+    x_tot_raw = jnp.sum(x, axis=1).reshape(x.shape[0], 1)
+    N_mean = jnp.mean(N)
+    x_scaled = (N * x) / N_mean
+    if not con:
+        ones = jnp.ones((x.shape[0], 1), x.dtype)
+        return (M_tot, x_tot_raw, N_mean, x_scaled,
+                jnp.concatenate([x_scaled, ones], axis=1),
+                jnp.concatenate([x_tot_raw, ones], axis=1))
+    return M_tot, x_tot_raw, N_mean, x_scaled, x_scaled, x_tot_raw
+
+
+@jax.jit
+def _extract_core(est, jk_cov, delete_values, M, N_mean):
+    """Coefficient/category/proportion-input extraction as one compiled
+    program (regressions.py:226-323 math, unchanged)."""
+    p = M.shape[1]
+    coef_val = est[0, :p] / N_mean
+    coef_cov = jk_cov[:p, :p] / N_mean**2
+    coef_std = jnp.sqrt(jnp.diag(coef_cov))
+    cat_val = (M * coef_val).reshape(p)
+    cat_cov = (M.T @ M) * coef_cov
+    cat_std = jnp.sqrt(jnp.diag(cat_cov))
+    tot_val = jnp.sum(cat_val)
+    tot_cov = jnp.sum(cat_cov)
+    nb = delete_values.shape[0]
+    numer_delete = (M * delete_values[:, :p]) / N_mean
+    denom_delete = (jnp.sum(numer_delete, axis=1).reshape(nb, 1)
+                    @ jnp.ones((1, p)))
+    tot_delete_values = (delete_values[:, :p] @ M.T) / N_mean
+    return (coef_val, coef_cov, coef_std, cat_val, cat_cov, cat_std,
+            tot_val, tot_cov, numer_delete, denom_delete,
+            tot_delete_values)
+
+
 def _check_shapes(y, x, w, N, M):
     n, p = x.shape
     for name, a in (("y", y), ("w", w), ("N", N)):
@@ -151,31 +191,19 @@ def ldscore_regression(
     """Run one LD-score regression (additive or dominance partition)."""
     y, x, w, N, M = (jnp.asarray(a) for a in (y, x, w, N, M))
     n_snp, n_annot = _check_shapes(y, x, w, N, M)
-
-    M_tot = jnp.sum(M)
-    x_tot_raw = jnp.sum(x, axis=1).reshape(n_snp, 1)
     constrain = intercept is not None
+
+    (M_tot, x_tot_raw, N_mean, x_scaled, x_design,
+     x_tot_func) = _prep_design(y, x, M, N, con=constrain)
+    yp = y if not constrain else y - intercept
 
     agg_intercept = intercept if constrain else null_intercept
     tot_agg = _aggregate(y, x_tot_raw, N, M_tot, agg_intercept)
 
     checkpoint = {}
-    N_mean = jnp.mean(N)
     initial_w = weights_fn(x_tot_raw, w, N, M_tot, tot_agg,
                            intercept if constrain else null_intercept)
     checkpoint["w"] = initial_w
-
-    x_scaled = (N * x) / N_mean
-
-    if not constrain:
-        ones = jnp.ones((n_snp, 1), x.dtype)
-        x_design = jnp.concatenate([x_scaled, ones], axis=1)
-        x_tot_func = jnp.concatenate([x_tot_raw, ones], axis=1)
-        yp = y
-    else:
-        x_design = x_scaled
-        x_tot_func = x_tot_raw
-        yp = y - intercept
 
     if two_step is not None and constrain:
         raise ValueError("two-step is not compatible with constrain_intercept.")
@@ -228,23 +256,18 @@ def ldscore_regression(
         jknife = irwls.irwls(x_design, yp, update, n_blocks, w=initial_w,
                              slow=slow)
 
-    # ---- extraction (regressions.py:226-323) ----
+    # ---- extraction (regressions.py:226-323), one compiled program ----
     p = n_annot
-    coef_val = jknife.est[0, :p] / N_mean
-    coef_cov = jknife.jk_cov[:p, :p] / N_mean**2
-    coef = Coefficient(coef_val, coef_cov, jnp.sqrt(jnp.diag(coef_cov)))
-
-    cat_val = (M * coef_val).reshape(p)
-    cat_cov = (M.T @ M) * coef_cov
-    category = Coefficient(cat_val, cat_cov, jnp.sqrt(jnp.diag(cat_cov)))
-
-    tot_val = float(jnp.sum(cat_val))
-    tot_cov = float(jnp.sum(cat_cov))
+    (coef_val, coef_cov, coef_std, cat_val, cat_cov, cat_std, tot_val_a,
+     tot_cov_a, numer_delete, denom_delete,
+     tot_delete_values) = _extract_core(
+        jknife.est, jknife.jk_cov, jknife.delete_values, M, N_mean)
+    coef = Coefficient(coef_val, coef_cov, coef_std)
+    category = Coefficient(cat_val, cat_cov, cat_std)
+    tot_val = float(tot_val_a)
+    tot_cov = float(tot_cov_a)
     total = Coefficient(tot_val, tot_cov, float(np.sqrt(tot_cov)))
 
-    nb = jknife.delete_values.shape[0]
-    numer_delete = (M * jknife.delete_values[:, :p]) / N_mean
-    denom_delete = jnp.sum(numer_delete, axis=1).reshape(nb, 1) @ jnp.ones((1, p))
     prop = jk.ratio_jackknife((cat_val / tot_val).reshape(1, p),
                               numer_delete, denom_delete)
     proportion = Coefficient(prop.est, prop.jk_cov, prop.jk_std)
@@ -257,8 +280,6 @@ def ldscore_regression(
                                 std=float(jknife.jk_std[0, p]))
     else:
         icept_out = Coefficient(float(intercept), std=float("nan"))
-
-    tot_delete_values = (jknife.delete_values[:, :p] @ M.T) / N_mean
 
     mean_chisq = float(jnp.mean(y))
     lambda_gc = float(jnp.median(y) / 0.4549)
