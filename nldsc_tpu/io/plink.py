@@ -155,35 +155,33 @@ class BedReader:
                          _packed_has_missing(arr, self.n_samples))
 
 
-#: per-byte: does any of the first k bitpairs decode to missing (01)?
-_MISS_LUT = np.zeros((256, 5), dtype=bool)
-for _b in range(256):
-    for _k in range(1, 5):
-        _MISS_LUT[_b, _k] = any(((_b >> (2 * _j)) & 0b11) == 0b01
-                                for _j in range(_k))
+def _miss_bytes(raw: np.ndarray, n_samples: int) -> np.ndarray:
+    """uint8 array, nonzero where a byte contains a VALID missing (01)
+    bitpair.  Branch-free bitwise form (pair = b1 b0; missing ⟺ b0 ∧ ¬b1,
+    so ``raw & 0x55 & ~(raw >> 1)`` lights bit 2i of pair i): three
+    elementwise passes instead of a 256-entry LUT gather — ~10× faster
+    over chromosome-scale byte arrays (the gather was the WHOLE
+    streaming-setup cost at M=131k: 5.0 s of 5-7 s)."""
+    miss = (raw & np.uint8(0x55)) & ~(raw >> 1)
+    tail_pairs = n_samples - (raw.shape[1] - 1) * 4
+    if tail_pairs < 4:
+        # pad bitpairs in the last byte are ignored (writers are supposed
+        # to zero them but need not)
+        miss[:, -1] &= np.uint8((1 << (2 * tail_pairs)) - 1)
+    return miss
 
 
 def _packed_has_missing(raw: np.ndarray, n_samples: int) -> bool:
-    """True iff any VALID bitpair is the missing code (pad bitpairs in the
-    last byte are ignored — writers are supposed to zero them but need
-    not)."""
-    tail_pairs = n_samples - (raw.shape[1] - 1) * 4
-    if raw.shape[1] > 1 and _MISS_LUT[raw[:, :-1], 4].any():
-        return True
-    return bool(_MISS_LUT[raw[:, -1], tail_pairs].any())
+    """True iff any VALID bitpair is the missing code."""
+    return bool(_miss_bytes(raw, n_samples).any())
 
 
 def packed_rowmiss(raw: np.ndarray, n_samples: int) -> np.ndarray:
     """Per-row missing flags from packed 2-bit rows (bool (rows,)).
 
     The split-missing engines key on which SNP rows actually carry
-    missing genotypes; this is one LUT pass over the raw bytes — no
-    decode (pad bitpairs in the last byte are ignored)."""
-    tail_pairs = n_samples - (raw.shape[1] - 1) * 4
-    out = _MISS_LUT[raw[:, -1], tail_pairs].copy()
-    if raw.shape[1] > 1:
-        out |= _MISS_LUT[raw[:, :-1], 4].any(axis=1)
-    return out
+    missing genotypes; one bitwise pass over the raw bytes — no decode."""
+    return _miss_bytes(raw, n_samples).any(axis=1)
 
 
 def scan_rowmiss(bed, block_rows: int = 65536) -> np.ndarray:
@@ -191,12 +189,17 @@ def scan_rowmiss(bed, block_rows: int = 65536) -> np.ndarray:
 
     One sequential pass over the file bytes — cheap even out-of-core,
     and what lets the streaming driver pick the split-missing engine
-    before any chunk is dispatched."""
-    m = bed.n_snp
+    before any chunk is dispatched.  Reads the bytes directly (bypassing
+    ``read_raw``'s own has-missing pass and row copy)."""
+    m, bps = bed.n_snp, bed.bytes_per_snp
     out = np.zeros(m, dtype=bool)
-    for s in range(0, m, block_rows):
-        c = min(block_rows, m - s)
-        out[s:s + c] = packed_rowmiss(bed.read_raw(s, c).raw, bed.n_samples)
+    with open(bed.path, "rb", buffering=0) as f:
+        f.seek(3)
+        for s in range(0, m, block_rows):
+            c = min(block_rows, m - s)
+            raw = np.frombuffer(f.read(c * bps), dtype=np.uint8)
+            out[s:s + c] = packed_rowmiss(raw.reshape(c, bps),
+                                          bed.n_samples)
     return out
 
 
