@@ -112,3 +112,15 @@ def test_packed_pipeline_matches_array_pipeline(tmp_path, rng):
                                        atol=1e-7, equal_nan=True, err_msg=k)
         for k in ("l2_ws", "l2d_ws", "l2d_wse"):
             np.testing.assert_array_equal(res_p[k], res_a[k], err_msg=k)
+
+
+def test_staged_put_chunked_identity(rng):
+    """_staged_put (64 MB-chunked host->device transfer) is bitwise
+    identical to a monolithic transfer, incl. uneven chunk tails."""
+    from nldsc_tpu.ld.pipeline import _staged_put
+
+    arr = rng.integers(-1, 3, size=(37, 257)).astype(np.int8)
+    out = _staged_put(arr, chunk_bytes=257 * 8)   # 8-row chunks, 37 % 8 != 0
+    np.testing.assert_array_equal(np.asarray(out), arr)
+    out1 = _staged_put(arr)                        # single-chunk path
+    np.testing.assert_array_equal(np.asarray(out1), arr)
