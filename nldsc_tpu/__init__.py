@@ -11,6 +11,13 @@ A from-scratch JAX/XLA/Pallas re-design of the capabilities of
   ``nldsc/h2/regressions.py``).
 """
 
+from .core.compile_cache import enable_persistent_cache
+
+# On-disk XLA compilation cache, on by default (NLDSC_NO_COMPILE_CACHE=1
+# opts out): fresh-process compiles dominated genome-scale wall-clock
+# 15-300x over actual device compute before this (PERFORMANCE.md r5).
+enable_persistent_cache()
+
 from .version import __version__
 from .ld.pipeline import estimate_lds
 from .h2.pipeline import estimate_h2
