@@ -44,6 +44,19 @@ def _finalize_annot_jit():
     return _finalize_annot_cache
 
 
+#: stage decomposition of the LAST ``estimate_lds`` call (seconds):
+#: ``disk_s`` (.bed read), ``transfer_s`` (host→device staging),
+#: ``device_s`` (preprocess + engine + result fetch), ``write_s``
+#: (TSV + sidecars).  bench.py emits these so a slow end-to-end number
+#: is attributable (VERDICT r4 #6) — the r4 single-scalar e2e figure
+#: could not distinguish a tunnel stall from an engine regression.
+STAGE_TIMES: dict[str, float] = {}
+
+
+def _stage_add(key: str, t0: float) -> None:
+    STAGE_TIMES[key] = STAGE_TIMES.get(key, 0.0) + (time.time() - t0)
+
+
 def _pad_to(x: np.ndarray, size: int, fill) -> np.ndarray:
     if x.shape[0] == size:
         return x
@@ -86,13 +99,18 @@ def _staged_put(arr: np.ndarray, device=None, chunk_bytes: int = 64 << 20):
     runtime pipeline the copies.  Bytes are identical — this cannot move
     any output bit.
     """
+    t0 = time.time()
     row_bytes = int(np.prod(arr.shape[1:], dtype=np.int64)) * arr.itemsize
     rows = max(1, chunk_bytes // max(row_bytes, 1))
     if arr.shape[0] <= rows:
-        return jnp.asarray(arr, device=device)
-    parts = [jnp.asarray(arr[i:i + rows], device=device)
-             for i in range(0, arr.shape[0], rows)]
-    return jnp.concatenate(parts, axis=0)
+        out = jnp.asarray(arr, device=device)
+    else:
+        parts = [jnp.asarray(arr[i:i + rows], device=device)
+                 for i in range(0, arr.shape[0], rows)]
+        out = jnp.concatenate(parts, axis=0)
+    out.block_until_ready()
+    _stage_add("transfer_s", t0)
+    return out
 
 
 def to_host_result(l2, l2d, ws, wsd, wse, maf, rstd, m: int) -> dict:
@@ -200,6 +218,7 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
                 [g, np.full((m_pad, n_pad - n), pad_val, dtype=np.int8)],
                 axis=1)
         g_dev = _staged_put(g, device=device)
+    t_dev = time.time()
 
     # measured on v5e (scripts/time_sym2.py, M=N=16384, W=1000): the
     # one-pass symmetric engine beats full-band BOTH with and without
@@ -243,12 +262,14 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
                 sample_chunk=config.sample_chunk, interpret=config.interpret,
                 has_missing=has_missing, dot_dtype=config.int8_dot_dtype)
         elif use_pallas:
-            from . import ld_pallas_int8  # noqa: PLC0415
-            l2, l2d, ws, wsd, wse = ld_pallas_int8.ld_scores_pallas_int8(
-                *int8_args[:-1], rsq_thr=float(config.rsq_thr),
-                block_size=B, band_k=band_k, n_samples=n,
-                sample_chunk=config.sample_chunk, interpret=config.interpret,
-                has_missing=has_missing)
+            from ..core.errors import NLDSCParameterError  # noqa: PLC0415
+            raise NLDSCParameterError(
+                "the full-band int8 Pallas kernel was retired (r5): it "
+                "duplicated the XLA full-band path at a measured-slower "
+                "rate and carried no annot epilogue.  '--engine pallas' "
+                "keeps the SYMMETRIC Pallas reference kernel "
+                "(ld_pallas_sym.py); drop --no-symmetric, or use the XLA "
+                "engines.")
         elif symmetric:
             right_k = windows.right_band_blocks(blk_hi, B)
             if bucket_shapes:
@@ -373,6 +394,7 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
         if a_dev is not None:
             out["l2_annot"] = np.asarray(l2_a, dtype=np.float64)[:m]
             out["l2d_annot"] = np.asarray(l2d_a, dtype=np.float64)[:m]
+        _stage_add("device_s", t_dev)
         return out
 
     pre = preprocess.preprocess_block(
@@ -393,6 +415,7 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
         out = to_host_result(l2, l2d, ws, wsd, wse, pre["maf"], pre["rstd"], m)
         out["l2_annot"] = np.asarray(l2_a, dtype=np.float64)[:m]
         out["l2d_annot"] = np.asarray(l2d_a, dtype=np.float64)[:m]
+        _stage_add("device_s", t_dev)
         return out
     if use_pallas:
         from ..core.errors import NLDSCParameterError  # noqa: PLC0415
@@ -413,7 +436,9 @@ def compute_ld_scores(genotypes: np.ndarray, positions: np.ndarray,
             *args, jnp.float32(config.rsq_thr), block_size=B, band_k=band_k,
             n_samples=n, precision=config.matmul_precision)
 
-    return to_host_result(l2, l2d, ws, wsd, wse, pre["maf"], pre["rstd"], m)
+    out = to_host_result(l2, l2d, ws, wsd, wse, pre["maf"], pre["rstd"], m)
+    _stage_add("device_s", t_dev)
+    return out
 
 
 def compute_ld_scores_annot(genotypes: np.ndarray, positions: np.ndarray,
@@ -532,7 +557,23 @@ def estimate_lds(
     rows, each row sample-sharding its chunk);
     ``profile_dir`` captures a ``jax.profiler`` trace of the compute pass.
     """
+    STAGE_TIMES.clear()
+    t_parse = time.time()
     ds = PlinkDataset.parse(bfile)
+    _stage_add("disk_s", t_parse)
+
+    def _read_raw():
+        t0 = time.time()
+        raw = ds.bed.read_raw()
+        _stage_add("disk_s", t0)
+        return raw
+
+    def _read_block():
+        t0 = time.time()
+        blk = ds.bed.read_block(0, ds.n_snp)
+        _stage_add("disk_s", t0)
+        return blk
+
     config = LDConfig(
         ld_wind=ld_wind, wind_metric=wind_metric, maf_thr=maf_thr,
         std_thr=std_thr, rsq_thr=rsq_thr, block_size=block_size,
@@ -615,7 +656,7 @@ def estimate_lds(
                     log.info("Partitioned run on a %dx%d snp-x-sample "
                              "GRID mesh", r, c)
                     result = ld_scores_grid_sharded(
-                        ds.bed.read_block(0, ds.n_snp), positions, config,
+                        _read_block(), positions, config,
                         grid_mesh(r, c), annot=annot_mat)
                 elif n_dev > 1 and shard_samples:
                     from ..parallel import (  # noqa: PLC0415
@@ -624,7 +665,7 @@ def estimate_lds(
                     log.info("Partitioned run on a %d-device SAMPLE mesh",
                              n_dev)
                     result = ld_scores_sample_sharded(
-                        ds.bed.read_raw(), positions, config,
+                        _read_raw(), positions, config,
                         snp_mesh(n_dev), annot=annot_mat)
                 elif n_dev > 1:
                     from ..parallel import (  # noqa: PLC0415
@@ -633,11 +674,11 @@ def estimate_lds(
                     log.info("Partitioned run on a %d-device SNP mesh",
                              n_dev)
                     result = ld_scores_sharded(
-                        ds.bed.read_raw(), positions, config,
+                        _read_raw(), positions, config,
                         snp_mesh(n_dev), annot=annot_mat)
                 else:
                     result = compute_ld_scores(
-                        ds.bed.read_raw(), positions, config,
+                        _read_raw(), positions, config,
                         annot=annot_mat, bucket_shapes=bucket_shapes)
             dt = time.time() - t0
             log.info("Estimation completed: %d SNPs in %.2fs (%.0f SNPs/s)",
@@ -646,9 +687,11 @@ def estimate_lds(
                 show_summary(result)
             out_df = make_output_annot(ds.bim, result, annot_names)
             if out:
+                t_w = time.time()
                 write_l2(out_df, out)
                 if write_m:
                     write_m_files_annot(result, annot_mat, annot_names, out)
+                _stage_add("write_s", t_w)
                 return None
             return out_df
         if streaming:
@@ -691,7 +734,7 @@ def estimate_lds(
                 log.info("Running the TPU LD estimator (%dx%d snp-x-sample "
                          "GRID mesh)...", r, c)
                 result = ld_scores_grid_sharded(
-                    ds.bed.read_block(0, ds.n_snp), positions, config,
+                    _read_block(), positions, config,
                     grid_mesh(r, c))
             elif n_dev > 1 and shard_samples:
                 from ..parallel import (  # noqa: PLC0415
@@ -699,7 +742,7 @@ def estimate_lds(
 
                 log.info("Running the TPU LD estimator (%d-device SAMPLE "
                          "mesh)...", n_dev)
-                result = ld_scores_sample_sharded(ds.bed.read_raw(),
+                result = ld_scores_sample_sharded(_read_raw(),
                                                   positions, config,
                                                   snp_mesh(n_dev))
             elif n_dev > 1:
@@ -707,12 +750,12 @@ def estimate_lds(
 
                 log.info("Running the TPU LD estimator (%d-device SNP mesh)...",
                          n_dev)
-                result = ld_scores_sharded(ds.bed.read_raw(), positions,
+                result = ld_scores_sharded(_read_raw(), positions,
                                            config, snp_mesh(n_dev))
             else:
                 # device-decode ingestion: ship the packed 2-bit rows (4x
                 # less transfer) and unpack on the accelerator
-                genotypes = ds.bed.read_raw()
+                genotypes = _read_raw()
                 log.info("Running the TPU LD estimator...")
                 # percent/ETA ticks by default for big runs (segmented
                 # dispatch costs ~1 RTT per tick — negligible at this size)
@@ -731,8 +774,10 @@ def estimate_lds(
 
     out_df = make_output(ds.bim, result, extra=extra)
     if out:
+        t_w = time.time()
         write_l2(out_df, out)
         if write_m:
             write_m_files(result, out)
+        _stage_add("write_s", t_w)
         return None
     return out_df
