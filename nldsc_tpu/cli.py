@@ -79,9 +79,9 @@ def main(log_file):
 @click.option("--engine", type=click.Choice(["int8", "f32", "pallas"]),
               default=None,
               help="Compute engine: integer-exact int8 MXU (default), f32 "
-                   "slab matmuls, or the fused Pallas kernel (experimental "
-                   "alternate — measured SLOWER than the default XLA path, "
-                   "see PERFORMANCE.md)")
+                   "slab matmuls, or the fused symmetric Pallas reference "
+                   "kernel (measured SLOWER than the default XLA path, "
+                   "see PERFORMANCE.md; symmetric only)")
 @click.option("--symmetric/--no-symmetric", "symmetric", default=None,
               help="Exploit r-squared symmetry (half-band, default on; "
                    "--no-symmetric forces the full-band engine)")

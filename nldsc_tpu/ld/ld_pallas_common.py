@@ -6,8 +6,10 @@ so per-SNP metadata rides in ONE int32 array of shape (n_blocks, 8, B)
 f32 array of the same shape (rows: l2, l2d, ws, wsd, wse, poison-count —
 integer counters are exact in f32 below 2^24).
 
-Split out of the retired f32 kernel module (r4) — the int8 alternates
-(``ld_pallas_sym.py``, ``ld_pallas_int8.py``) share these layouts.
+Split out of the retired f32 kernel module (r4); the full-band int8
+kernel was retired in r5 (measured slower than the XLA full-band path
+it duplicated, no annot epilogue) — ``ld_pallas_sym.py`` is the ONE
+kept Pallas reference kernel and the sole consumer of these layouts.
 """
 
 from __future__ import annotations
@@ -26,3 +28,11 @@ def pack_metadata(lo, hi, usable, dom_ok, add_sd_zero, nb: int, B: int):
     fields = [lo, hi, usable.astype(jnp.int32), dom_ok.astype(jnp.int32),
               add_sd_zero.astype(jnp.int32), zeros, zeros, zeros]
     return jnp.stack([f.reshape(nb, B) for f in fields], axis=1)
+
+
+def pack_scalars(scal, nb: int, B: int):
+    """(M, 9) scalar matrix -> (nb, 16, B) sublane-aligned packing."""
+    rows = [scal[:, i].reshape(nb, B) for i in range(scal.shape[1])]
+    zeros = jnp.zeros((nb, B), scal.dtype)
+    rows += [zeros] * (16 - len(rows))
+    return jnp.stack(rows, axis=1)

@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .ld_int8 import SCAL_FIELDS, corr_from_dots
 from .ld_pallas_common import (_L2, _L2D, _WS, _WSD, _WSE, _POI,
                                pack_metadata)
-from .ld_pallas_int8 import pack_scalars
+from .ld_pallas_common import pack_scalars
 from .ld_xla import finalize_outputs
 
 _LO, _HI, _USABLE, _DOM_OK, _POISON = range(5)

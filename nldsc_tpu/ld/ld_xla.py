@@ -8,7 +8,7 @@ pair is one ``(B, N) @ (N, B)`` MXU matmul followed by a fused epilogue
 both L2 (additive) and L2D (dominance) plus the three window counters.
 
 This module is the correctness-first XLA implementation; the int8 Pallas
-alternates (``ld_pallas_sym.py``/``ld_pallas_int8.py``) fuse the same
+alternate (``ld_pallas_sym.py``) fuses the same
 epilogue into custom kernels.  All share the mask algebra in
 :func:`_tile_epilogue` and finalization in :func:`finalize_outputs`.
 """

@@ -45,9 +45,12 @@ def test_oracle_reproduces_golden(golden):
 
 
 @pytest.mark.parametrize(
-    "engine", ["int8", "int8-sym", "int8-pallas", "int8-pallas-sym",
+    "engine", ["int8", "int8-sym", "int8-pallas-sym",
                "f32-sym", "f32-plain"])
 def test_engines_match_golden(golden, engine):
+    # r5: the full-band "int8-pallas" combo is gone from the matrix —
+    # the kernel was retired (pipeline raises NLDSCParameterError;
+    # ld_pallas_sym stays parity-pinned here and in test_ld_pallas_sym)
     cfg = LDConfig(ld_wind=WIND, wind_metric="bp", maf_thr=MAF, std_thr=STD,
                    rsq_thr=RSQ, block_size=32,
                    use_int8=engine.startswith("int8"),
