@@ -78,6 +78,50 @@ def test_ld_genome_then_h2(genome, tmp_path):
             assert 0.7 < summary["additive"]["lambda_gc"] < 1.3
 
 
+def test_ld_genome_annot_then_partitioned_h2(genome, tmp_path):
+    """Genome-wide PARTITIONED loop (r5, VERDICT r4 #5): ld-genome
+    --annot over every chromosome into a directory, then h2
+    --partitioned aggregating that directory (the directory reader,
+    io/ldscores.py)."""
+    td, ss_path, total_m = genome
+    rng = np.random.default_rng(31)
+    annot_rows = []
+    for c in range(1, 5):
+        m = 240 + 60 * (c % 2)
+        annot_rows.append(pd.DataFrame({
+            "SNP": [f"c{c}_rs{i}" for i in range(m)],
+            "base": 1.0,
+            "cat": (rng.random(m) < 0.3).astype(float)}))
+    annot_path = str(tmp_path / "genome.annot")
+    pd.concat(annot_rows).to_csv(annot_path, sep="\t", index=False)
+
+    part_dir = str(tmp_path / "part")
+    runner = CliRunner()
+    res = runner.invoke(cli_main, [
+        "ld-genome", "--bfiles", f"{td}/chr*.bed", "--out-dir", part_dir,
+        "-kb", "50", "-maf", "0.01", "--annot", annot_path, "--display"])
+    assert res.exit_code == 0, res.output
+    files = sorted(os.listdir(part_dir))
+    assert [f for f in files if f.endswith(".L2")] == [
+        "chr01.L2", "chr02.L2", "chr03.L2", "chr04.L2"]
+    # per-annotation sidecars for every chromosome
+    assert "chr01.M" in files and "chr04.M_5_50" in files
+    # partitioned columns present
+    with open(os.path.join(part_dir, "chr01.L2")) as f:
+        header = f.readline().split()
+    assert "base.L2" in header and "cat.L2" in header
+
+    out_json = str(tmp_path / "h2_part.json")
+    res = runner.invoke(cli_main, [
+        "h2", "--sumstats", str(ss_path), "--ref-ld", part_dir,
+        "--w-ld", part_dir, "--partitioned", "-s", out_json, "--display"])
+    assert res.exit_code == 0, res.output
+    with open(out_json) as f:
+        summary = json.load(f)
+    text = json.dumps(summary)
+    assert "cat" in text and "base" in text, summary
+
+
 def test_ld_genome_resume_dir(genome, tmp_path):
     """--resume-dir creates per-chromosome checkpoint roots (streaming)."""
     td, _, _ = genome
