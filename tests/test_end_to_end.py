@@ -50,6 +50,19 @@ def test_ld_pipeline_files(toy_bfile, tmp_path):
     np.testing.assert_allclose(df["L2"].to_numpy(), ora["l2"],
                                atol=2e-4, equal_nan=True)
 
+    # stage decomposition recorded for the LAST run (r5, VERDICT r4 #6):
+    # bench.py emits these so a slow e2e figure is attributable.  The
+    # single-device in-core route records all four stages (the bench
+    # path); multi-device routes record disk/write only.
+    from nldsc_tpu.ld.pipeline import STAGE_TIMES
+
+    estimate_lds(prefix, ld_wind=10, wind_metric="kbp", maf_thr=0.01,
+                 std_thr=1e-4, out=str(tmp_path / "one.L2"),
+                 block_size=64, n_devices=1)
+    assert {"disk_s", "transfer_s", "device_s",
+            "write_s"} <= set(STAGE_TIMES), STAGE_TIMES
+    assert all(v >= 0 for v in STAGE_TIMES.values())
+
 
 def test_h2_pipeline_files(toy_bfile, tmp_path):
     from nldsc_tpu.ld.pipeline import estimate_lds
