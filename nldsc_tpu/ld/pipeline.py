@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from ..config import LDConfig
 from ..core.logging import log
-from ..core.timing import elapsed_time
+from ..core.timing import STAGE_TIMES, elapsed_time
+from ..core.timing import stage_add as _stage_add
 from ..io.ldscores import make_output, write_l2, write_m_files
 from ..io.plink import PlinkDataset
 from . import ld_xla, preprocess, windows
@@ -44,17 +45,12 @@ def _finalize_annot_jit():
     return _finalize_annot_cache
 
 
-#: stage decomposition of the LAST ``estimate_lds`` call (seconds):
-#: ``disk_s`` (.bed read), ``transfer_s`` (host→device staging),
-#: ``device_s`` (preprocess + engine + result fetch), ``write_s``
-#: (TSV + sidecars).  bench.py emits these so a slow end-to-end number
-#: is attributable (VERDICT r4 #6) — the r4 single-scalar e2e figure
-#: could not distinguish a tunnel stall from an engine regression.
-STAGE_TIMES: dict[str, float] = {}
-
-
-def _stage_add(key: str, t0: float) -> None:
-    STAGE_TIMES[key] = STAGE_TIMES.get(key, 0.0) + (time.time() - t0)
+# STAGE_TIMES (re-exported from core.timing above): stage decomposition
+# of the LAST ``estimate_lds`` call — ``disk_s`` (.bed read),
+# ``transfer_s`` (host→device staging), ``device_s`` (preprocess +
+# engine + result fetch), ``write_s`` (TSV + sidecars); the streaming
+# route adds its component busy-times.  bench.py emits these so a slow
+# end-to-end number is attributable (VERDICT r4 #6).
 
 
 def _pad_to(x: np.ndarray, size: int, fill) -> np.ndarray:

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core.logging import log
+from ..core.timing import stage_add as _stage_add
 from .ld_xla import _tile_epilogue, finalize_outputs
 from .preprocess import preprocess_block
 from . import windows
@@ -1028,22 +1029,40 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     t_start = time.time()
     log.info("streaming setup %.1fs (windows/rowmiss-scan/metadata "
              "staging); %d chunks to run", t_start - t_enter, len(todo))
+    # component busy-times for the run decomposition (core.timing
+    # STAGE_TIMES; components OVERLAP by design — read in the prefetch
+    # thread, dispatch/collect on the main thread — so these attribute
+    # where time is spent, they don't partition wall-clock)
+    def read_band_timed(ci):
+        t0 = time.time()
+        band = read_band(ci)
+        _stage_add("stream_read_s", t0)
+        return band
+
     pool = ThreadPoolExecutor(max_workers=1)
-    prefetch = pool.submit(read_band, todo[0]) if todo else None
+    prefetch = pool.submit(read_band_timed, todo[0]) if todo else None
     in_flight: deque = deque()  # (ci, pre, accs) pending collection
     for idx, ci in enumerate(todo):
         # chunk ci's decode overlapped the previous chunks' device compute
+        t0 = time.time()
         band = prefetch.result()
+        _stage_add("stream_read_wait_s", t0)
         if idx + 1 < len(todo):
-            prefetch = pool.submit(read_band, todo[idx + 1])
+            prefetch = pool.submit(read_band_timed, todo[idx + 1])
 
+        t0 = time.time()
         in_flight.append((ci, *dispatch(ci, band, ring[idx % n_dev])))
+        _stage_add("stream_dispatch_s", t0)
         # keep one rotation of chunks in flight (all devices busy), then
         # collect the oldest before reusing its device
         while len(in_flight) >= n_dev + 1:
+            t0 = time.time()
             collect(*in_flight.popleft())
+            _stage_add("stream_collect_s", t0)
     while in_flight:
+        t0 = time.time()
         collect(*in_flight.popleft())
+        _stage_add("stream_collect_s", t0)
 
     pool.shutdown()
     return {k: v[:m] for k, v in out.items()}
