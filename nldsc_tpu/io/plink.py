@@ -86,6 +86,29 @@ def encode_bed_bytes(genotypes: np.ndarray) -> np.ndarray:
     return (padded << shifts).sum(axis=2).astype(np.uint8)
 
 
+def _read_exact(f, n: int) -> np.ndarray:
+    """Read EXACTLY ``n`` bytes from an (unbuffered) file into a uint8
+    array.
+
+    ``open(..., buffering=0)`` returns a raw ``FileIO`` whose ``read``
+    issues ONE ``read(2)`` syscall — Linux caps a single read at
+    2 GiB − 4 KiB, so a 4.9 GB UKB-scale ``.bed`` request silently came
+    back short (found the hard way: the first M=65,536 × N=300,032 CLI
+    run crashed reshaping 2,147,479,552 bytes).  ``readinto`` in a loop
+    is exact, keeps the zero-copy buffer, and detects real truncation.
+    """
+    out = np.empty(n, dtype=np.uint8)
+    view = memoryview(out)
+    got = 0
+    while got < n:
+        r = f.readinto(view[got:])
+        if not r:
+            raise NLDSCDataError(
+                f".bed read truncated: wanted {n} bytes, got {got}")
+        got += r
+    return out
+
+
 class BedReader:
     """Random-access block reader for a SNP-major .bed file."""
 
@@ -129,8 +152,8 @@ class BedReader:
             )
         with open(self.path, "rb", buffering=0) as f:
             f.seek(3 + start * self.bytes_per_snp)
-            raw = f.read(count * self.bytes_per_snp)
-        arr = np.frombuffer(raw, dtype=np.uint8).reshape(count, self.bytes_per_snp)
+            raw = _read_exact(f, count * self.bytes_per_snp)
+        arr = raw.reshape(count, self.bytes_per_snp)
         return decode_bed_bytes(arr, self.n_samples)
 
     def read_all(self) -> np.ndarray:
@@ -148,9 +171,8 @@ class BedReader:
             raise ValueError(f"block [{start}, {start + count}) out of range")
         with open(self.path, "rb", buffering=0) as f:
             f.seek(3 + start * self.bytes_per_snp)
-            raw = f.read(count * self.bytes_per_snp)
-        arr = np.frombuffer(raw, dtype=np.uint8).reshape(
-            count, self.bytes_per_snp).copy()
+            raw = _read_exact(f, count * self.bytes_per_snp)
+        arr = raw.reshape(count, self.bytes_per_snp)
         return PackedBed(arr, count, self.n_samples,
                          _packed_has_missing(arr, self.n_samples))
 
@@ -197,7 +219,7 @@ def scan_rowmiss(bed, block_rows: int = 65536) -> np.ndarray:
         f.seek(3)
         for s in range(0, m, block_rows):
             c = min(block_rows, m - s)
-            raw = np.frombuffer(f.read(c * bps), dtype=np.uint8)
+            raw = _read_exact(f, c * bps)
             out[s:s + c] = packed_rowmiss(raw.reshape(c, bps),
                                           bed.n_samples)
     return out

@@ -124,3 +124,33 @@ def test_staged_put_chunked_identity(rng):
     np.testing.assert_array_equal(np.asarray(out), arr)
     out1 = _staged_put(arr)                        # single-chunk path
     np.testing.assert_array_equal(np.asarray(out1), arr)
+
+
+def test_read_exact_loops_over_short_reads():
+    """_read_exact must survive the kernel's single-read cap (a raw
+    FileIO read(2) returns at most 2 GiB - 4 KiB on Linux — found by the
+    first UKB-scale run: a 4.9 GB .bed came back truncated) and detect
+    genuine truncation."""
+    import pytest
+
+    from nldsc_tpu.core.errors import NLDSCDataError
+    from nldsc_tpu.io.plink import _read_exact
+
+    class ShortReader:
+        """readinto() that delivers at most `cap` bytes per call."""
+
+        def __init__(self, data, cap):
+            self.data, self.pos, self.cap = data, 0, cap
+
+        def readinto(self, view):
+            n = min(self.cap, len(view), len(self.data) - self.pos)
+            view[:n] = self.data[self.pos:self.pos + n]
+            self.pos += n
+            return n
+
+    data = bytes(range(256)) * 40                  # 10240 bytes
+    out = _read_exact(ShortReader(data, cap=1000), len(data))
+    assert bytes(out) == data                      # stitched exactly
+
+    with pytest.raises(NLDSCDataError, match="truncated"):
+        _read_exact(ShortReader(data, cap=1000), len(data) + 1)
