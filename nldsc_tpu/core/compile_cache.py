@@ -55,7 +55,9 @@ def enable_persistent_cache() -> str | None:
         import jax
 
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.75)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(os.environ.get("NLDSC_CACHE_MIN_COMPILE_SECS", "0.75")))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:  # pragma: no cover - cache is a pure optimization
         return None

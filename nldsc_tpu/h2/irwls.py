@@ -23,6 +23,47 @@ def reweigh(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return x * (w / jnp.sum(w))
 
 
+def qr_solve_mgs(x, y):
+    """Least squares via modified Gram-Schmidt QR, unrolled over the
+    (trace-static, small: p ≤ 33) column count.
+
+    Why not ``lstsq``/Householder: accelerator backends may lack a fast
+    small-matrix QR (the remote QR compile here took ~20 min — see
+    ``wls``).  Why not normal equations: forming XᵀX SQUARES the
+    condition number, and in f32 a near-collinear LD design (constant
+    scores ⇒ the ld column ≈ the intercept column; first hit: the r5
+    UKB-N run) loses every digit — the adjugate solve returned
+    inf/NaN coefficients.  MGS keeps κ(X) un-squared: pure
+    elementwise + reduction ops, compiles in seconds, and its f32 error
+    ~κ·eps matches the on-device parity tolerance on well-conditioned
+    systems (tests/test_h2_ondevice.py).  ``rkk`` is floored at the
+    dtype tiny so exactly-collinear columns degrade to huge-but-finite
+    coefficients instead of 0/0 NaNs.
+    """
+    p = x.shape[1]
+    qs: list = []
+    r_entries = {}
+    for k in range(p):
+        v = x[:, k:k + 1]
+        for j in range(k):
+            rjk = jnp.sum(qs[j] * v)
+            v = v - rjk * qs[j]
+            r_entries[(j, k)] = rjk
+        rkk = jnp.maximum(jnp.sqrt(jnp.sum(v * v)),
+                          jnp.finfo(x.dtype).tiny)
+        r_entries[(k, k)] = rkk
+        qs.append(v / rkk)
+    # back-substitute R coef = Qᵀ y (unrolled)
+    qty = [jnp.sum(q * y) for q in qs]
+    coef = [None] * p
+    for k in range(p - 1, -1, -1):
+        acc = qty[k]
+        for j in range(k + 1, p):
+            acc = acc - r_entries[(k, j)] * coef[j]
+        coef[k] = acc / r_entries[(k, k)]
+    return jnp.stack(coef).reshape(p, 1)
+
+
 @jax.jit
 def _wls_core(x, y, w):
     """Reweigh + solve as one compiled program (no w>0 validation — the
@@ -31,7 +72,7 @@ def _wls_core(x, y, w):
     xw = x * (w / jnp.sum(w))
     yw = y * (w / jnp.sum(w))
     if xw.dtype == jnp.float32:
-        return jk.solve_posdef(xw.T @ xw, xw.T @ yw)
+        return qr_solve_mgs(xw, yw)
     return jnp.linalg.lstsq(xw, yw)[0]
 
 

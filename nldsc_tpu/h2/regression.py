@@ -98,7 +98,19 @@ def weights_additive(ld, w_ld, N, M_tot, hsq, intercept=None):
     w_ld = jnp.maximum(w_ld, 1.0)
     c = hsq * (N - 1) / M_tot
     het_w = 1.0 / (2.0 * jnp.square(intercept + c * ld))
-    return het_w / w_ld
+    # f32 (on-device) guard: on DEGENERATE input (near-constant LD, the
+    # design matrix collinear with the intercept) the step-1 coefficient
+    # blows up, the squared term overflows, het_w underflows and — XLA
+    # flushes f32 subnormals to zero — the final weight comes out
+    # exactly 0, which `reweigh` correctly rejects.  Floor the FINAL
+    # weight at the dtype's smallest normal (the floor must sit after
+    # the /w_ld: flooring het_w alone still left tiny/w_ld subnormal →
+    # FTZ zero for half the rows — measured on the r5 UKB-N run).  In
+    # f64 (the reference-parity path) the floor is ~1e-308 and can
+    # never bind on data the reference itself accepts, so parity is
+    # untouched; in f32 the run proceeds and the jackknife std honestly
+    # reports the degeneracy.
+    return jnp.maximum(het_w / w_ld, jnp.finfo(het_w.dtype).tiny)
 
 
 @jax.jit
@@ -112,7 +124,8 @@ def weights_dominant(ld, w_ld, N, M_tot, hsq, intercept=None):
     w_ld = jnp.maximum(w_ld, 1.0)
     c = hsq * (N - 1) / M_tot
     het_w = 1.0 / (2.0 * jnp.square(intercept + c * ld) + 1e-10)
-    return het_w / w_ld
+    # same f32 degenerate-input guard as weights_additive (see there)
+    return jnp.maximum(het_w / w_ld, jnp.finfo(het_w.dtype).tiny)
 
 
 @jax.jit

@@ -149,3 +149,73 @@ def test_ondevice_partitioned(tmp_path):
             np.testing.assert_allclose(
                 f32["annotations"][nm][key], f64["annotations"][nm][key],
                 rtol=5e-5, atol=1e-6, err_msg=f"{nm}.{key}")
+
+
+def test_ondevice_degenerate_constant_ld_no_crash():
+    """Near-constant L2 makes the regression design collinear with the
+    intercept; pre-fix, the f32 on-device path crashed on this data with
+    'Weights must be > 0' (normal-equation solve -> inf coefficient ->
+    weight underflow -> XLA f32 subnormal flush -> exact 0), while f64
+    returned an honestly-garbage finite estimate.  The fixture is a
+    REAL subset of the r5 UKB-N run's outputs (M=65,536 x N=300,032
+    synthetic unlinked genotypes -> L2 = 1 ± 3e-4 everywhere; every 4th
+    row — verified to still crash the pre-fix code); fixed by the MGS-QR
+    f32 solve (irwls.qr_solve_mgs) + the weight tiny-floor."""
+    import os
+
+    import pandas as pd
+
+    data = np.load(os.path.join(os.path.dirname(__file__), "data",
+                                "degenerate_ukb_subset.npz"))
+    m = data["l2"].shape[0]
+    snp = np.array([f"rs{i}" for i in range(m)])
+    ss = pd.DataFrame({"SNP": snp, "Z": data["z"].astype(np.float64),
+                       "N": float(data["n"])})
+    ld = pd.DataFrame({"SNP": snp, "L2": data["l2"].astype(np.float64),
+                       "L2D": data["l2d"].astype(np.float64)})
+    # two_step=30 is the crash path (the CLI default strategy): step 1's
+    # free-intercept system is the collinear one.  NOTE: exact CLI
+    # defaults (no chisq_max override) — the failure is a numerical
+    # knife-edge and the _run helper's chisq_max=1e9 perturbs it enough
+    # to miss the pre-fix crash.
+    for on_device in (True, False):
+        cfg = H2Config(n_blocks=200, on_device=on_device, two_step=30.0)
+        summary = estimate_h2_frames(ss, ld, m, m, cfg)["summary"]
+        assert np.isfinite(summary["additive"]["hsq"]), on_device
+        assert np.isfinite(summary["additive"]["hsq.std"]), on_device
+
+
+def test_qr_solve_mgs_ill_conditioned_f32():
+    """The f32 WLS solve must handle a near-collinear design.  Forming
+    XᵀX squares the condition number: the old adjugate normal-equation
+    solve loses all 24 f32 bits at κ(X) ≈ 3e3 (κ² ≈ 1e7) and returned
+    inf/NaN on the UKB-N degenerate system; MGS QR keeps κ un-squared
+    and stays within ~κ·eps of the f64 reference answer."""
+    import jax.numpy as jnp
+
+    from nldsc_tpu.h2.irwls import qr_solve_mgs
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    ld = 1.0 + 3e-4 * rng.standard_normal(n)      # near-constant column
+    x64 = np.stack([ld, np.ones(n)], axis=1)
+
+    # On a near-collinear f32 design the INDIVIDUAL coefficients are not
+    # recoverable by any solver (already the f32 CAST of x/y perturbs
+    # them by O(eps·κ²) — the measured spread across environments is
+    # ±1); the invariants the h2 pipeline needs from the solve are:
+    # finite, bounded (the weight formula squares intercept + c·ld — a
+    # coefficient blow-up underflows the weights to 0 and kills the
+    # run), and prediction-accurate (x@coef is the well-conditioned
+    # functional the IRWLS weights actually consume).
+    y_exact = (0.7 * ld - 0.2).reshape(n, 1)
+    y64 = y_exact + 1e-3 * rng.standard_normal((n, 1))
+    for y in (y_exact, y64):
+        mgs = np.asarray(qr_solve_mgs(jnp.asarray(x64, jnp.float32),
+                                      jnp.asarray(y, jnp.float32)))
+        assert np.all(np.isfinite(mgs)) and np.all(np.abs(mgs) < 1e2)
+        np.testing.assert_allclose(x64 @ mgs,
+                                   x64 @ np.linalg.lstsq(x64, y,
+                                                         rcond=None)[0],
+                                   rtol=0, atol=5e-3)
+
