@@ -63,3 +63,22 @@ def enable_persistent_cache() -> str | None:
         return None
     _enabled = True
     return path
+
+
+def cache_everything() -> None:
+    """Drop the persistence threshold to 0 for this process.
+
+    For flows made of many scattered eager ops on the accelerator
+    (on-device h2: ~88 compiles, each ~1 s of remote round-trip but
+    reporting under the 0.75 s threshold) — there the CPU-reload-noise
+    rationale for the threshold doesn't apply and caching every entry
+    is pure win.  No-op when the cache is disabled."""
+    if not _enabled:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
+    except Exception:  # pragma: no cover
+        pass

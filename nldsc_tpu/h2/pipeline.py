@@ -19,6 +19,7 @@ import pandas as pd
 import jax
 
 from ..config import H2Config
+from ..core.compile_cache import cache_everything as _drop_cache_threshold
 from ..core.errors import NLDSCParameterError
 from ..core.logging import log
 from ..core.timing import elapsed_time
@@ -123,6 +124,15 @@ def estimate_h2_frames(sumstats: pd.DataFrame, ld: pd.DataFrame, M: int,
     # dtype-agnostic jnp (f32 linalg IS TPU-native; only f64 isn't), and
     # the jackknife compensates its accumulation in f32 (jackknife.py)
     import contextlib  # noqa: PLC0415
+    if config.on_device:
+        # persist even sub-threshold compiles: the on-device flow is
+        # ~88 scattered eager ops whose compiles each cost ~1 s of
+        # remote round-trip but REPORT < the 0.75 s persistence
+        # threshold, so a fresh process re-paid all of them (~90-115 s,
+        # PERFORMANCE.md).  On this path every compile is for the
+        # accelerator — the CPU-entry reload noise that motivated the
+        # threshold cannot occur — so cache everything.
+        _drop_cache_threshold()
     x64_ctx = jax.enable_x64(not config.on_device)
     dev_ctx = contextlib.nullcontext() if config.on_device else _cpu_device()
     with x64_ctx, dev_ctx:
@@ -239,6 +249,8 @@ def estimate_h2_partitioned(
     # (decomposition-free; jackknife.py), validated ≤1e-5 vs this f64
     # path in tests/test_h2_ondevice.py
     import contextlib  # noqa: PLC0415
+    if on_device:
+        _drop_cache_threshold()   # see estimate_h2_frames
     x64_ctx = jax.enable_x64(not on_device)
     dev_ctx = contextlib.nullcontext() if on_device else _cpu_device()
     with x64_ctx, dev_ctx:
