@@ -67,11 +67,25 @@ def solve_posdef(a, b):
 
     a: (..., p, p), b: (..., p, 1) → (..., p, 1).
     """
+    def _clamp_det(det):
+        # sign-preserving magnitude floor: a numerically singular f32
+        # system yields det == ±0/subnormal → inf coefficients → the
+        # jackknife's (delete − est) differences become inf − inf = NaN
+        # and poison every reported std (first hit: UKB-N
+        # near-constant-LD partitioned run, r5).  The floor turns that
+        # into huge-but-finite garbage — matching what the f64 CPU path
+        # honestly reports on identical input; on well-conditioned
+        # input it cannot bind (parity suites unchanged).
+        tiny = jnp.finfo(det.dtype).tiny
+        return jnp.where(det < 0, jnp.minimum(det, -tiny),
+                         jnp.maximum(det, tiny))
+
     p = a.shape[-1]
     if p == 1:
         return b / a[..., :1, :]
     if p == 2:
-        det = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+        det = _clamp_det(a[..., 0, 0] * a[..., 1, 1]
+                         - a[..., 0, 1] * a[..., 1, 0])
         x0 = (a[..., 1, 1] * b[..., 0, 0] - a[..., 0, 1] * b[..., 1, 0])
         x1 = (a[..., 0, 0] * b[..., 1, 0] - a[..., 1, 0] * b[..., 0, 0])
         return jnp.stack([x0, x1], axis=-1)[..., None] / det[..., None, None]
@@ -79,7 +93,8 @@ def solve_posdef(a, b):
         c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
         c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
         c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
-        det = (a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02)
+        det = _clamp_det(a[..., 0, 0] * c00 + a[..., 0, 1] * c01
+                         + a[..., 0, 2] * c02)
         c10 = a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2]
         c11 = a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0]
         c12 = a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1]
@@ -100,7 +115,16 @@ def solve_posdef(a, b):
                 s = a[..., i, j]
                 for k in range(j):
                     s = s - low[i][k] * low[j][k]
-                low[i][j] = jnp.sqrt(s) if i == j else s / low[j][j]
+                # diagonal floor: on a DEGENERATE (numerically singular)
+                # system the f32 Schur complement can go ≤0 and sqrt
+                # returns NaN, which then poisons the whole partitioned
+                # jackknife std (first hit: UKB-N near-constant-LD run,
+                # r5).  Flooring at the dtype tiny yields huge-but-
+                # finite garbage — the same honest behavior the f64 CPU
+                # path exhibits on identical input.  On genuinely SPD
+                # input the floor cannot bind (parity suites unchanged).
+                low[i][j] = (jnp.sqrt(jnp.maximum(s, jnp.finfo(s.dtype).tiny))
+                             if i == j else s / low[j][j])
         y = []
         for i in range(p):
             s = b[..., i, 0]
