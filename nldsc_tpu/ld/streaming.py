@@ -554,7 +554,31 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
         from ..io.plink import scan_rowmiss  # noqa: PLC0415
         from .ld_split import plan_split_v2  # noqa: PLC0415
 
-        rowmiss_all = scan_rowmiss(bed)
+        # the scan re-reads the ENTIRE .bed (measured ~110 s of the
+        # UKB-scale run's setup); with a checkpoint dir the bitmap is
+        # cached (keyed by the .bed identity the meta also pins), so a
+        # resumed run skips straight to the chunks it actually needs
+        rowmiss_all = None
+        rm_cache = None
+        if resume_path:
+            from pathlib import Path  # noqa: PLC0415
+
+            rm_cache = Path(resume_path) / "rowmiss.npz"
+            if rm_cache.exists():
+                d = np.load(rm_cache, allow_pickle=False)
+                if (str(d["bed_path"]) == os.path.abspath(bed.path)
+                        and int(d["bed_bytes"]) == os.path.getsize(bed.path)
+                        and d["rowmiss"].shape[0] == m):
+                    rowmiss_all = d["rowmiss"]
+        if rowmiss_all is None:
+            rowmiss_all = scan_rowmiss(bed)
+            if rm_cache is not None:
+                rm_cache.parent.mkdir(parents=True, exist_ok=True)
+                tmp = rm_cache.with_name(".tmp_rowmiss.npz")
+                np.savez(tmp, rowmiss=rowmiss_all,
+                         bed_path=os.path.abspath(bed.path),
+                         bed_bytes=os.path.getsize(bed.path))
+                os.replace(tmp, rm_cache)
         frac = float(rowmiss_all.mean())
         want = (config.split_missing if config.split_missing is not None
                 else 0.0 < frac <= 0.25)

@@ -75,12 +75,26 @@ def test_streaming_resume(tmp_path, rng):
     shards = sorted(f for f in os.listdir(resume) if f.startswith("chunk_"))
     assert len(shards) >= 2 and os.path.exists(os.path.join(resume, "meta.json"))
 
+    # the rowmiss bitmap was cached (r5: skips the full-.bed scan on
+    # resume — ~110 s at UKB scale) and is keyed by the .bed identity
+    rm = np.load(os.path.join(resume, "rowmiss.npz"), allow_pickle=False)
+    assert rm["rowmiss"].shape == (g.shape[0],)
+    np.testing.assert_array_equal(rm["rowmiss"], (g < 0).any(axis=1))
+
     # simulate a partial run: delete the last two chunk shards
     for f in shards[-2:]:
         os.remove(os.path.join(resume, f))
     resumed = compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg,
                                           chunk_rows=64, resume_path=resume)
     _assert_same(resumed, full)
+
+    # a CORRUPTED/stale cached bitmap keyed to a different .bed identity
+    # is ignored (rescanned), not trusted
+    np.savez(os.path.join(resume, "rowmiss.npz"),
+             rowmiss=~rm["rowmiss"], bed_path="/nowhere", bed_bytes=0)
+    resumed2 = compute_ld_scores_streaming(bed, pos.astype(np.float64), cfg,
+                                           chunk_rows=64, resume_path=resume)
+    _assert_same(resumed2, full)
 
     # a geometry mismatch is rejected instead of silently mixing shards
     import pytest
