@@ -151,17 +151,20 @@ def tpu_pass(has_missing=False, row_missing=False):
 
     # min over five DISTINCT timed inputs: the tunneled runtime's
     # run-to-run drift is up to 4x, and the min tracks true device time
-    # (identical calls are memoized, so every rep must differ)
-    gs = [gen(jax.random.PRNGKey(k)) for k in range(6)]
-    for g_dev in gs:
-        np.asarray(g_dev[:1, :1])             # force generation
-    np.asarray(full_pass(gs[0]))              # compile + warm
+    # (identical calls are memoized, so every rep must differ).  Inputs
+    # are generated one at a time and freed after use — each is 2 GB of
+    # HBM (m_total x N int8) and holding six at once OOMs the chip.
     dts = []
-    for g_dev in gs[1:]:
+    for k in range(6):
+        g_dev = gen(jax.random.PRNGKey(k))
+        np.asarray(g_dev[:1, :1])             # force generation
         t0 = time.time()
         v = np.asarray(full_pass(g_dev))      # timed: 1 dispatch +
-        dts.append(time.time() - t0)          #        1 tiny fetch
+        dt = time.time() - t0                 #        1 tiny fetch
+        del g_dev
         assert v[1] > m_total * 0.9 and np.isfinite(v[0])
+        if k > 0:                             # k=0 pays compile/warm-up
+            dts.append(dt)
     return min(dts), m_total
 
 
@@ -273,9 +276,11 @@ def cpu_baseline(g, pos):
 
 
 def main():
-    # --- CPU baseline (subset, extrapolated per-SNP rate) ---
+    # --- CPU baseline (subset, extrapolated per-SNP rate; min over 3
+    # reps — host scheduling noise swung single-shot runs 3x, which
+    # polluted vs_baseline even though it is only a control) ---
     g_cpu, pos_cpu = make_inputs(CPU_M, N, seed=11)
-    cpu_dt = cpu_baseline(g_cpu, pos_cpu)
+    cpu_dt = min(cpu_baseline(g_cpu, pos_cpu) for _ in range(3))
     cpu_rate = CPU_M / cpu_dt
 
     # --- TPU pass, clean data (the headline number) ---
