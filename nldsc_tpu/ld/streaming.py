@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core.logging import log
+from ..core.timing import STAGE_TIMES
 from ..core.timing import stage_add as _stage_add
 from .ld_xla import _tile_epilogue, finalize_outputs
 from .preprocess import preprocess_block
@@ -546,6 +547,7 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     # global 8-matmul epilogue
     split_plans = None
     split_p = split_px = 0
+    rowmiss_all = None
     from .ld_split import SEG_ROWS_DEFAULT  # noqa: PLC0415
     split_seg = min(SEG_ROWS_DEFAULT, band_rows)
     split_nseg = -(-band_rows // split_seg)
@@ -720,15 +722,41 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                if (use_packed and samp_meshes is not None)
                else (bed.bytes_per_snp if use_packed else 0))
 
-    def read_band(ci):
-        """Host-side read of chunk ci's window band (prefetch thread)."""
+    def read_band(ci, tail_only=False):
+        """Host-side read of chunk ci's window band (prefetch thread).
+
+        ``tail_only`` (band-tail RETENTION, r5): consecutive symmetric
+        bands overlap by exactly ``halo`` rows (band ci's last halo rows
+        == band ci+1's first halo rows, padding included), so when the
+        previous chunk's PACKED band is still resident on the device,
+        only the ``chunk_rows`` NEW rows are read + transferred and the
+        device band is assembled by concatenation in ``dispatch`` —
+        cutting steady-state host→device traffic to exactly one
+        chunk_rows of packed bytes per chunk (the overlap re-transfer
+        was ~halo/band of every chunk).  Bytes are identical by
+        construction, so outputs cannot move a bit.
+        """
         p0 = ci * chunk_rows
         band_lo = p0 - lead              # may be negative (masked)
         band_hi = band_lo + band_rows
-        r0, r1 = max(band_lo, 0), min(band_hi, m)
         chunk_has_missing = False
-        if use_packed:
+        if tail_only:
+            # rows [band_lo + (band_rows - chunk_rows), band_hi) — the
+            # part of this band the previous band does not cover
+            t_lo = band_hi - chunk_rows
+            r0, r1 = max(t_lo, 0), min(band_hi, m)
+            g_band = np.full((chunk_rows, bps_pad), 0x55, dtype=np.uint8)
+            if r1 > r0:
+                packed = bed.read_raw(r0, r1 - r0)
+                g_band[r0 - t_lo:r1 - t_lo,
+                       :bed.bytes_per_snp] = packed.raw
+            # band-level missing state from the up-front rowmiss scan
+            # (identical semantics to read_raw's has_missing pass)
+            b0, b1 = max(band_lo, 0), min(band_hi, m)
+            chunk_has_missing = bool(rowmiss_all[b0:b1].any())
+        elif use_packed:
             g_band = np.full((band_rows, bps_pad), 0x55, dtype=np.uint8)
+            r0, r1 = max(band_lo, 0), min(band_hi, m)
             if r1 > r0:
                 packed = bed.read_raw(r0, r1 - r0)
                 chunk_has_missing = packed.has_missing
@@ -736,6 +764,7 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                        :bed.bytes_per_snp] = packed.raw
         else:
             g_band = np.full((band_rows, n_pad), -1, dtype=np.int8)
+            r0, r1 = max(band_lo, 0), min(band_hi, m)
             if r1 > r0:
                 block = bed.read_block(r0, r1 - r0)
                 chunk_has_missing = bool((block < 0).any())
@@ -744,7 +773,7 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
         g0c, g1c = max(band_lo, 0), min(band_hi, m_ext)
         if g1c > g0c:
             pos_ok_band[g0c - band_lo:g1c - band_lo] = pos_ok_pad[g0c:g1c]
-        return g_band, pos_ok_band, chunk_has_missing
+        return g_band, pos_ok_band, chunk_has_missing, tail_only
 
     from collections import deque  # noqa: PLC0415
     from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
@@ -782,9 +811,16 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                               put(np.float32(config.std_thr)),
                               put(np.float32(config.rsq_thr)))
 
+    # band-tail retention (see read_band): single-device symmetric
+    # packed route only — round-robin rings place consecutive chunks on
+    # different devices, where the previous band is not local
+    retain = (sym_fast and n_dev == 1 and use_packed
+              and rowmiss_all is not None)
+    ret_state = {"ci": None, "band": None}
+
     def dispatch(ci, band, dev):
         """Queue chunk ci's device work (async); returns device arrays."""
-        g_band, pos_ok_band, chunk_has_missing = band
+        g_band, pos_ok_band, chunk_has_missing, tail_only = band
         p0 = ci * chunk_rows
         p1 = p0 + chunk_rows
         band_lo = p0 - lead
@@ -792,6 +828,12 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
         def dev_put(x):
             a = jnp.asarray(x)
             return jax.device_put(a, dev) if dev is not None else a
+
+        # transferred-bytes accounting (MB; rides the STAGE_TIMES dict —
+        # the CLI stage log / PERFORMANCE read it, e.g. to verify the
+        # band-retention transfer saving)
+        STAGE_TIMES["stream_put_mb"] = (
+            STAGE_TIMES.get("stream_put_mb", 0.0) + g_band.nbytes / 1e6)
 
         def band_dev():
             gb = dev_put(g_band)
@@ -848,8 +890,17 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
                                              "xs", "x_cnt"))
                 split_kw = dict(seg_rows=split_seg, n_segs=split_nseg,
                                 p_band=split_p, p_x=split_px)
+            if tail_only:
+                assert ret_state["ci"] == ci - 1, (ret_state["ci"], ci)
+                g_band_dev = jnp.concatenate(
+                    [ret_state["band"][chunk_rows:], dev_put(g_band)],
+                    axis=0)
+            else:
+                g_band_dev = dev_put(g_band)
+            if retain:
+                ret_state["ci"], ret_state["band"] = ci, g_band_dev
             out_p = _chunk_dispatch_sym(
-                dev_put(g_band), meta_by_dev[dev], np.int32(p0),
+                g_band_dev, meta_by_dev[dev], np.int32(p0),
                 np.int32(m_pad), thr_by_dev[dev], split_dev_c,
                 annot_by_dev.get(dev),
                 packed=use_packed, n_samples=n, n_pad=n_pad,
@@ -1057,14 +1108,15 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
     # STAGE_TIMES; components OVERLAP by design — read in the prefetch
     # thread, dispatch/collect on the main thread — so these attribute
     # where time is spent, they don't partition wall-clock)
-    def read_band_timed(ci):
+    def read_band_timed(ci, tail_only=False):
         t0 = time.time()
-        band = read_band(ci)
+        band = read_band(ci, tail_only)
         _stage_add("stream_read_s", t0)
         return band
 
     pool = ThreadPoolExecutor(max_workers=1)
-    prefetch = pool.submit(read_band_timed, todo[0]) if todo else None
+    prefetch = (pool.submit(read_band_timed, todo[0], False)
+                if todo else None)
     in_flight: deque = deque()  # (ci, pre, accs) pending collection
     for idx, ci in enumerate(todo):
         # chunk ci's decode overlapped the previous chunks' device compute
@@ -1072,7 +1124,10 @@ def compute_ld_scores_streaming(bed, positions: np.ndarray, config, *,
         band = prefetch.result()
         _stage_add("stream_read_wait_s", t0)
         if idx + 1 < len(todo):
-            prefetch = pool.submit(read_band_timed, todo[idx + 1])
+            # tail-only read iff the NEXT chunk directly follows this one
+            # (its band is then assembled from this chunk's retained band)
+            prefetch = pool.submit(read_band_timed, todo[idx + 1],
+                                   retain and todo[idx + 1] == ci + 1)
 
         t0 = time.time()
         in_flight.append((ci, *dispatch(ci, band, ring[idx % n_dev])))

@@ -264,3 +264,26 @@ def test_streaming_symmetric_wide_halo(tmp_path, rng):
     resumed = compute_ld_scores_streaming(
         bed, pos.astype(np.float64), cfg, chunk_rows=16, resume_path=ck)
     _assert_same(resumed, full)
+
+
+def test_streaming_band_retention_bitwise(tmp_path, rng):
+    """Band-tail retention (r5) assembles chunk bands from the previous
+    chunk's device-resident packed rows instead of re-transferring the
+    halo overlap.  The assembled bytes are identical by construction —
+    assert BITWISE-equal outputs against the retention-off path
+    (split_missing=False skips the rowmiss scan, which gates retention;
+    with clean data both configs run the exact same clean kernels)."""
+    m, n = 300, 180
+    g = random_genotypes(rng, m, n, missing_rate=0.0)
+    pos = make_positions(m, spacing=800, jitter_rng=rng)
+    prefix = write_plink(tmp_path / "ret", g, bp=pos.astype(np.int64))
+    bed = BedReader(prefix + ".bed", m, n)
+    base = dict(ld_wind=5000, wind_metric="bp", maf_thr=0.01,
+                std_thr=1e-4, rsq_thr=1e-3, block_size=16)
+    on = compute_ld_scores_streaming(
+        bed, pos.astype(np.float64), LDConfig(**base), chunk_rows=64)
+    off = compute_ld_scores_streaming(
+        bed, pos.astype(np.float64), LDConfig(**base, split_missing=False),
+        chunk_rows=64)
+    for k in on:
+        np.testing.assert_array_equal(on[k], off[k], err_msg=k)
