@@ -287,3 +287,18 @@ def test_streaming_band_retention_bitwise(tmp_path, rng):
         chunk_rows=64)
     for k in on:
         np.testing.assert_array_equal(on[k], off[k], err_msg=k)
+
+
+@pytest.mark.parametrize("chunk", [16, 32, 64])
+def test_streaming_symmetric_retention_chunk_sweep(tmp_path, rng, chunk):
+    """Symmetric streaming (band-tail retention active) vs the dense
+    engine across chunk sizes straddling the halo width — chunk 16 puts
+    halo > chunk_rows, so a retained band's tail spans MULTIPLE past
+    chunks' rows; the assembly must still reproduce the exact band."""
+    g, pos, bed = _setup(tmp_path, rng)
+    cfg = LDConfig(ld_wind=9000, wind_metric="bp", maf_thr=0.01,
+                   std_thr=1e-4, rsq_thr=1e-3, block_size=16)
+    dense = compute_ld_scores(g, pos.astype(np.float64), cfg)
+    streamed = compute_ld_scores_streaming(
+        bed, pos.astype(np.float64), cfg, chunk_rows=chunk)
+    _assert_same(streamed, dense)
