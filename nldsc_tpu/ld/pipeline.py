@@ -764,6 +764,9 @@ def estimate_lds(
     dt = time.time() - t0
     log.info("Estimation completed: %d SNPs in %.2fs (%.0f SNPs/s)",
              ds.n_snp, dt, ds.n_snp / max(dt, 1e-9))
+    if STAGE_TIMES:
+        log.info("Stage decomposition: %s",
+                 {k: round(v, 2) for k, v in sorted(STAGE_TIMES.items())})
 
     if summary:
         show_summary(result)
